@@ -1,0 +1,382 @@
+"""Snapshot-manifest lake table over bucketed Parquet with atomic commits.
+
+The storage layer of the engine. Plays the role Iceberg plays in the design
+(and BigQuery partitioned+clustered tables play in the reference): an
+Iceberg-shaped format built from scratch on Parquet because this sandbox
+ships no lakehouse jars. Semantics mirrored from the reference:
+
+- bucket-granular copy-on-write overwrite  ≈ idempotent ``table$YYYYMMDD``
+  partition-decorator writes with WRITE_TRUNCATE
+  (reference ``bigquery_etl/copy_deduplicate.py:96,143-165``).
+- hash-bucketing on the key                ≈ the ``sample_id`` 0-99 stable
+  hash split (reference ``sql/moz-fx-data-shared-prod/udf_js/sample_id``,
+  ``shredder/delete.py:455-526``).
+- snapshot log + epoch watermark           ≈ the shredder resumable state
+  table (``shredder/delete.py:169-243,713-726``).
+
+Commit protocol (single-writer): data files are written to a fresh
+``data/<commit-uuid>/`` directory first; the snapshot JSON (which is the only
+source of truth for table contents) is then written to a temp name and
+``os.rename``d into ``_snapshots/`` — atomic on POSIX. A crash before the
+rename leaves orphan data files that ``vacuum()`` removes; the table state is
+unchanged. Readers resolve the highest-numbered snapshot.
+
+Scale note: a snapshot holds one JSON entry per live data file. With 4096
+buckets and bucket-granular rewrites the manifest stays O(buckets + recent
+commits); at 100 TB this is a few MB of JSON — same order as an Iceberg
+manifest list. Reads prune at file level via the requested bucket set, so a
+CDC epoch touching K buckets reads/writes only those buckets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema_evolution import compat_select, is_write_compatible, merge_schemas
+
+BUCKET_COL = "_b"
+_SNAP_DIR = "_snapshots"
+_DATA_DIR = "data"
+
+
+def bucket_id(col: F.Column, num_buckets: int) -> F.Column:
+    """Stable bucket of a key column: pmod(xxhash64(key), N).
+
+    xxhash64 is JVM-side and seed-stable across Spark versions; the analog of
+    the reference's CRC32-based ``sample_id`` (0-99) hash split.
+    """
+    return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_id: int
+    schemas: dict[str, str]  # schema_id -> StructType.json()
+    num_buckets: int
+    buckets: dict[str, list[dict[str, Any]]]  # bucket -> [{path, rows, bytes, schema_id}]
+    properties: dict[str, Any] = field(default_factory=dict)
+    lineage: list[dict[str, Any]] = field(default_factory=list)  # this commit only
+    parent_version: int | None = None
+    committed_at: float = 0.0
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schemas[str(self.schema_id)]))
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "schema_id": self.schema_id,
+                "schemas": self.schemas,
+                "num_buckets": self.num_buckets,
+                "buckets": self.buckets,
+                "properties": self.properties,
+                "lineage": self.lineage,
+                "parent_version": self.parent_version,
+                "committed_at": self.committed_at,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(**d)
+
+
+class LakeTable:
+    """A bucketed, snapshot-versioned Parquet table with atomic commits."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._snapshot = self._load_latest()
+
+    # ---------------- creation / loading ----------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        num_buckets: int = 32,
+        properties: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, _SNAP_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            schema_id=0,
+            schemas={"0": schema.json()},
+            num_buckets=num_buckets,
+            buckets={str(b): [] for b in range(num_buckets)},
+            properties=dict(properties or {}),
+            committed_at=time.time(),
+        )
+        cls._write_snapshot(root, snap)
+        return cls(spark, root)
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        d = os.path.join(root, _SNAP_DIR)
+        return os.path.isdir(d) and any(f.startswith("snap-") for f in os.listdir(d))
+
+    def _load_latest(self) -> Snapshot:
+        d = os.path.join(self.root, _SNAP_DIR)
+        snaps = sorted(f for f in os.listdir(d) if f.startswith("snap-") and f.endswith(".json"))
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots under {d}")
+        with open(os.path.join(d, snaps[-1])) as fh:
+            return Snapshot.from_json(fh.read())
+
+    def refresh(self) -> None:
+        self._snapshot = self._load_latest()
+
+    @property
+    def snapshot(self) -> Snapshot:
+        return self._snapshot
+
+    @property
+    def schema(self) -> T.StructType:
+        return self._snapshot.schema
+
+    @property
+    def num_buckets(self) -> int:
+        return self._snapshot.num_buckets
+
+    # ---------------- read path ----------------
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """DataFrame of the current table state, pruned to ``buckets``.
+
+        Files are grouped by the schema they were written with; each group is
+        coerced to the current schema via ``compat_select`` (null-fill added
+        columns, widen int32→int64) — the projection-based evolution of the
+        reference (``schema/__init__.py:303-440``), all Catalyst expressions.
+        """
+        snap = self._snapshot
+        target = snap.schema
+        sel = (
+            [str(b) for b in buckets]
+            if buckets is not None
+            else list(snap.buckets.keys())
+        )
+        by_schema: dict[str, list[str]] = {}
+        for b in sel:
+            for f in snap.buckets.get(b, []):
+                by_schema.setdefault(str(f["schema_id"]), []).append(
+                    os.path.join(self.root, f["path"])
+                )
+        if not by_schema:
+            return self.spark.createDataFrame([], target)
+        parts = []
+        for sid, paths in by_schema.items():
+            file_schema = T.StructType.fromJson(json.loads(snap.schemas[sid]))
+            df = self.spark.read.schema(file_schema).parquet(*paths)
+            parts.append(df if file_schema == target else compat_select(df, target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---------------- write path ----------------
+
+    def _stats_for_dir(self, commit_dir: str) -> dict[str, list[dict[str, Any]]]:
+        """Walk a freshly written ``_b=NN`` partitioned dir; collect per-file
+        row/byte stats from Parquet footers (driver-side, cheap)."""
+        out: dict[str, list[dict[str, Any]]] = {}
+        for entry in sorted(os.listdir(commit_dir)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            b = str(int(entry.split("=")[1]))
+            bdir = os.path.join(commit_dir, entry)
+            for fn in sorted(os.listdir(bdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(bdir, fn)
+                meta = pq.read_metadata(fp)
+                out.setdefault(b, []).append(
+                    {
+                        "path": os.path.relpath(fp, self.root),
+                        "rows": meta.num_rows,
+                        "bytes": os.path.getsize(fp),
+                    }
+                )
+        return out
+
+    def _write_data(self, df: DataFrame, key_col: str | None) -> tuple[str, dict]:
+        """Write df (optionally adding the bucket column from key_col) into a
+        fresh commit dir, partitioned by bucket. Returns (commit_id, stats)."""
+        commit_id = uuid.uuid4().hex[:12]
+        commit_dir = os.path.join(self.root, _DATA_DIR, commit_id)
+        if BUCKET_COL not in df.columns:
+            if key_col is None:
+                raise ValueError("need key_col to derive bucket column")
+            df = df.withColumn(BUCKET_COL, bucket_id(F.col(key_col), self.num_buckets))
+        # One shuffle clusters rows by bucket so each bucket lands in few
+        # files (AQE coalesces small partitions); this is the WRITE ORDERED BY
+        # clustering analog.
+        df.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+            commit_dir
+        )
+        return commit_id, self._stats_for_dir(commit_dir)
+
+    @staticmethod
+    def _write_snapshot(root: str, snap: Snapshot) -> None:
+        d = os.path.join(root, _SNAP_DIR)
+        final = os.path.join(d, f"snap-{snap.version:010d}.json")
+        if os.path.exists(final):
+            raise RuntimeError(f"snapshot {snap.version} already exists (concurrent writer?)")
+        tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(snap.to_json())
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, final)  # atomic on POSIX — the commit point
+
+    def _commit(
+        self,
+        new_buckets: dict[str, list[dict[str, Any]]],
+        replaced_buckets: list[int] | None,
+        schema: T.StructType | None,
+        properties_update: dict[str, Any] | None,
+        lineage: list[dict[str, Any]] | None,
+    ) -> Snapshot:
+        prev = self._snapshot
+        schemas = dict(prev.schemas)
+        schema_id = prev.schema_id
+        if schema is not None and schema != prev.schema:
+            if not is_write_compatible(prev.schema, schema):
+                raise ValueError("schema evolution must be widening/additive")
+            schema_id = max(int(k) for k in schemas) + 1
+            schemas[str(schema_id)] = schema.json()
+        buckets = {k: list(v) for k, v in prev.buckets.items()}
+        if replaced_buckets is not None:
+            for b in replaced_buckets:
+                buckets[str(b)] = []
+        for b, files in new_buckets.items():
+            buckets.setdefault(b, [])
+            buckets[b] = buckets[b] + [{**f, "schema_id": schema_id} for f in files]
+        props = dict(prev.properties)
+        props.update(properties_update or {})
+        snap = Snapshot(
+            version=prev.version + 1,
+            schema_id=schema_id,
+            schemas=schemas,
+            num_buckets=prev.num_buckets,
+            buckets=buckets,
+            properties=props,
+            lineage=list(lineage or []),
+            parent_version=prev.version,
+            committed_at=time.time(),
+        )
+        self._write_snapshot(self.root, snap)
+        self._snapshot = snap
+        return snap
+
+    def overwrite_all(
+        self,
+        df: DataFrame,
+        key_col: str,
+        properties_update: dict[str, Any] | None = None,
+        lineage: list[dict[str, Any]] | None = None,
+    ) -> Snapshot:
+        """Replace the entire table contents (initial load / full backfill)."""
+        df = compat_select(df, self.schema) if df.schema != self.schema else df
+        _, stats = self._write_data(df, key_col)
+        return self._commit(
+            stats,
+            replaced_buckets=list(range(self.num_buckets)),
+            schema=None,
+            properties_update=properties_update,
+            lineage=lineage,
+        )
+
+    def overwrite_buckets(
+        self,
+        buckets: list[int],
+        df: DataFrame,
+        key_col: str,
+        schema: T.StructType | None = None,
+        properties_update: dict[str, Any] | None = None,
+        lineage: list[dict[str, Any]] | None = None,
+    ) -> Snapshot:
+        """Atomically replace the given buckets with df's rows (which must all
+        belong to those buckets). The engine's MERGE commit primitive."""
+        if schema is not None and schema != self.schema:
+            df = compat_select(df, schema) if df.schema != schema else df
+        _, stats = self._write_data(df, key_col)
+        stray = set(stats.keys()) - {str(b) for b in buckets}
+        if stray:
+            raise ValueError(f"rows written outside declared buckets: {sorted(stray)}")
+        for row in lineage or []:  # enrich lineage with actual write stats
+            files = stats.get(str(row.get("partition_id")), [])
+            row["bytes_written"] = sum(f["bytes"] for f in files)
+            row["rows_written"] = sum(f["rows"] for f in files)
+        return self._commit(
+            stats,
+            replaced_buckets=buckets,
+            schema=schema,
+            properties_update=properties_update,
+            lineage=lineage,
+        )
+
+    def evolve_schema(self, new_schema: T.StructType) -> Snapshot:
+        """Metadata-only commit applying an additive/widening schema change
+        (≈ Iceberg ALTER TABLE ADD COLUMN / ALTER COLUMN TYPE; reference
+        ``deploy.py:124-153`` in-place schema update)."""
+        merged = merge_schemas(self.schema, new_schema)
+        return self._commit({}, None, merged, None, None)
+
+    # ---------------- maintenance / introspection ----------------
+
+    def history(self) -> list[Snapshot]:
+        d = os.path.join(self.root, _SNAP_DIR)
+        out = []
+        for fn in sorted(os.listdir(d)):
+            if fn.startswith("snap-") and fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as fh:
+                    out.append(Snapshot.from_json(fh.read()))
+        return out
+
+    def manifest_rows(self) -> list[dict[str, Any]]:
+        """All per-partition lineage rows across history (the checkpoint
+        manifest; FIXTURES.md §4 schema)."""
+        rows: list[dict[str, Any]] = []
+        for snap in self.history():
+            rows.extend(snap.lineage)
+        return rows
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the latest snapshot (orphans
+        from crashed commits). Returns number of files removed."""
+        live = {
+            os.path.join(self.root, f["path"])
+            for files in self._snapshot.buckets.values()
+            for f in files
+        }
+        removed = 0
+        data_root = os.path.join(self.root, _DATA_DIR)
+        for dirpath, _dirnames, filenames in os.walk(data_root):
+            for fn in filenames:
+                fp = os.path.join(dirpath, fn)
+                if fp not in live and (fn.endswith(".parquet") or fn.startswith(("_", "."))):
+                    os.remove(fp)
+                    removed += 1
+        for dirpath, dirnames, filenames in list(os.walk(data_root, topdown=False)):
+            if dirpath != data_root and not dirnames and not filenames:
+                shutil.rmtree(dirpath, ignore_errors=True)
+        return removed

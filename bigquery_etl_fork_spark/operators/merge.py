@@ -1,0 +1,55 @@
+"""MERGE-style upsert/delete plan over a bucketed current-state DataFrame.
+
+The DataFrame re-expression of the reference's two apply primitives:
+
+- upsert  ≈ ``MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT``
+  (reference ``sql/moz-fx-data-shared-prod/mozilla_org_derived/ga_sessions_v2/
+  script.sql:459-537``)
+- delete  ≈ the shredder's anti-join partition rewrite: ``LEFT JOIN … ON key
+  WHERE right IS NULL`` (reference ``bigquery_etl/shredder/delete.py:377-427``)
+
+Spark-first shape: ``new_state = (current LEFT ANTI JOIN delta_keys) UNION
+upserts``. The anti join's build side is the *delta key set* — per epoch this
+is small relative to table state, so Catalyst broadcasts it and the big
+current-state side is NEVER shuffled. At 10^10-event scale with bucket
+pruning, an epoch's merge cost is: scan affected buckets + broadcast-anti +
+one bucket-clustering shuffle of the merged output. AQE falls back to a
+sort-merge anti join automatically if a delta exceeds the broadcast
+threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OP_INSERT, OP_UPDATE, OP_DELETE = "I", "U", "D"
+
+
+def merge_delta(
+    current: DataFrame,
+    deduped_delta: DataFrame,
+    key: str = "doc_id",
+    op_col: str = "op",
+    payload_cols: list[str] | None = None,
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Apply a LWW-deduped delta (one row per key, with op I/U/D) to current.
+
+    Returns the new state:
+      - keys present in delta with op D  -> removed
+      - keys present with op I/U         -> delta payload wins
+      - all other current rows           -> carried through untouched
+    Absent-key deletes are no-ops (anti join semantics), matching the
+    shredder's behavior on already-deleted rows.
+    """
+    if payload_cols is None:
+        payload_cols = [c for c in current.columns]
+    delta_keys = deduped_delta.select(key)
+    if broadcast_keys:
+        delta_keys = F.broadcast(delta_keys)
+    survivors = current.join(delta_keys, on=key, how="left_anti")
+    upserts = deduped_delta.where(F.col(op_col) != OP_DELETE).select(
+        *[F.col(c) for c in payload_cols]
+    )
+    return survivors.select(*payload_cols).unionByName(upserts)

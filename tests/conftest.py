@@ -1,0 +1,24 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bigquery_etl_fork_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # small batches so mapInPandas batch-boundary carry logic is exercised
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "500",
+        },
+    )
+    yield s
+    s.stop()

@@ -1,0 +1,142 @@
+"""CDC engine golden scenarios (FIXTURES.md §5) against a pandas oracle."""
+
+import pytest
+
+from bigquery_etl_fork_spark import datagen
+from bigquery_etl_fork_spark.engine import CDCEngine, SimulatedCrash
+from bigquery_etl_fork_spark.lake import LakeTable
+
+from .oracle import assert_states_equal, replay_oracle
+
+N_DOCS, N_EVENTS, N_EPOCHS = 300, 2000, 4
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cdc_data")
+    base = datagen.base_table(n_docs=N_DOCS, seed=42)
+    log = datagen.change_log(n_docs=N_DOCS, n_events=N_EVENTS, n_epochs=N_EPOCHS, seed=43)
+    import pyarrow.parquet as pq
+
+    pq.write_table(base, str(d / "base.parquet"))
+    pq.write_table(log, str(d / "log.parquet"))
+    return {"dir": d, "base": base, "log": log}
+
+
+def _fresh_table(spark, tmp_path, data, num_buckets=8):
+    base_df = spark.read.parquet(str(data["dir"] / "base.parquet"))
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), base_df.schema, num_buckets=num_buckets)
+    t.overwrite_all(base_df, key_col="doc_id")
+    return t
+
+
+def _state_pdf(table):
+    return table.read().toPandas()
+
+
+def test_single_epoch(spark, tmp_path, data):
+    t = _fresh_table(spark, tmp_path, data)
+    log_df = spark.read.parquet(str(data["dir"] / "log.parquet"))
+    eng = CDCEngine(spark, t)
+    eng.replay(log_df.where("epoch = 1"))
+    assert_states_equal(_state_pdf(t), replay_oracle(data["base"], data["log"], upto_epoch=1))
+    assert t.snapshot.properties["epoch_watermark"] == 1
+
+
+def test_full_replay_all_modes_equal(spark, tmp_path, data):
+    log_df = spark.read.parquet(str(data["dir"] / "log.parquet"))
+    expected = replay_oracle(data["base"], data["log"])
+    for mode in ("jvm", "grouped", "partition"):
+        t = _fresh_table(spark, tmp_path / mode, data)
+        CDCEngine(spark, t, dedup_mode=mode).replay(log_df)
+        assert_states_equal(_state_pdf(t), expected)
+
+
+def test_salted_path_equal(spark, tmp_path, data):
+    log_df = spark.read.parquet(str(data["dir"] / "log.parquet"))
+    t = _fresh_table(spark, tmp_path, data)
+    CDCEngine(spark, t, salt="on", salt_n=4).replay(log_df)
+    assert_states_equal(_state_pdf(t), replay_oracle(data["base"], data["log"]))
+
+
+def test_deletes_and_absent_key_delete_noop(spark, tmp_path, data):
+    import pyarrow as pa
+
+    base = datagen.base_table(n_docs=5, seed=1)
+    log = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3], type=pa.int64()),
+            "epoch": pa.array([1, 1, 1], type=pa.int32()),
+            "op": ["D", "D", "U"],
+            "doc_id": ["doc-000000000001", "doc-999999999999", "doc-000000000002"],
+            "tokens": pa.array([None, None, [7, 8]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([None, None, 2], type=pa.int32()),
+            "source": [None, None, "web"],
+            "event_ts": pa.array([None, None, None], type=pa.timestamp("us")),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "mini"
+    d.mkdir()
+    pq.write_table(base, str(d / "base.parquet"))
+    pq.write_table(log, str(d / "log.parquet"))
+    base_df = spark.read.parquet(str(d / "base.parquet"))
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), base_df.schema, num_buckets=4)
+    t.overwrite_all(base_df, key_col="doc_id")
+    CDCEngine(spark, t).replay(spark.read.parquet(str(d / "log.parquet")))
+    assert_states_equal(_state_pdf(t), replay_oracle(base, log))
+    got = {r.doc_id for r in t.read().collect()}
+    assert "doc-000000000001" not in got
+    assert "doc-000000000002" in got
+
+
+def test_empty_epoch_manifest_row(spark, tmp_path, data):
+    t = _fresh_table(spark, tmp_path, data)
+    log_df = spark.read.parquet(str(data["dir"] / "log.parquet"))
+    eng = CDCEngine(spark, t)
+    eng.apply_epoch(99, log_df.where("epoch = -1"))
+    assert t.snapshot.properties["epoch_watermark"] == 99
+    rows = [r for r in t.manifest_rows() if r["epoch"] == 99]
+    assert rows and rows[0]["partition_id"] == -1
+    assert_states_equal(_state_pdf(t), replay_oracle(data["base"], data["log"], upto_epoch=0))
+
+
+def test_crash_resume_exactly_once(spark, tmp_path, data):
+    log_df = spark.read.parquet(str(data["dir"] / "log.parquet"))
+    t = _fresh_table(spark, tmp_path, data)
+    eng = CDCEngine(spark, t)
+    with pytest.raises(SimulatedCrash):
+        eng.replay(log_df, fail_after_epoch=2)
+    assert t.snapshot.properties["epoch_watermark"] == 2
+    # restart from a fresh handle (as a new process would)
+    t2 = LakeTable(spark, t.root)
+    stats = CDCEngine(spark, t2).replay(log_df)
+    skipped = [e.epoch for e in stats.epochs if e.skipped]
+    assert skipped == [1, 2]  # no epoch applied twice
+    assert_states_equal(_state_pdf(t2), replay_oracle(data["base"], data["log"]))
+
+
+def test_replay_idempotent_when_rerun_fully(spark, tmp_path, data):
+    log_df = spark.read.parquet(str(data["dir"] / "log.parquet"))
+    t = _fresh_table(spark, tmp_path, data)
+    CDCEngine(spark, t).replay(log_df)
+    v = t.snapshot.version
+    stats = CDCEngine(spark, LakeTable(spark, t.root)).replay(log_df)
+    assert all(e.skipped for e in stats.epochs)
+    t.refresh()
+    assert t.snapshot.version == v
+
+
+def test_lineage_rows_written(spark, tmp_path, data):
+    t = _fresh_table(spark, tmp_path, data)
+    log_df = spark.read.parquet(str(data["dir"] / "log.parquet"))
+    CDCEngine(spark, t).replay(log_df)
+    rows = t.manifest_rows()
+    epochs = {r["epoch"] for r in rows}
+    assert epochs == {1, 2, 3, 4}
+    for r in rows:
+        assert r["lsn_start"] <= r["lsn_end"]
+        assert r["rows_upserted"] + r["rows_deleted"] > 0
+        assert r["bytes_written"] > 0
+        assert r["apply_latency_ms"] >= 0

@@ -1,0 +1,130 @@
+import os
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from bigquery_etl_fork_spark.lake import BUCKET_COL, LakeTable, bucket_id
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n", T.IntegerType()),
+    ]
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, num_buckets=4)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_create_and_empty_read(spark, table):
+    assert table.read().count() == 0
+    assert table.snapshot.version == 0
+
+
+def test_overwrite_all_and_read(spark, table):
+    df = _df(spark, [("a", 1), ("b", 2), ("c", 3)])
+    table.overwrite_all(df, key_col="doc_id")
+    got = {(r.doc_id, r.n) for r in table.read().collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+    assert table.snapshot.version == 1
+
+
+def test_bucket_pruned_read(spark, table):
+    df = _df(spark, [(f"d{i}", i) for i in range(40)])
+    table.overwrite_all(df, key_col="doc_id")
+    buckets = (
+        df.withColumn(BUCKET_COL, bucket_id(F.col("doc_id"), 4))
+        .groupBy(BUCKET_COL)
+        .count()
+        .collect()
+    )
+    one = int(buckets[0][BUCKET_COL])
+    expect = int(buckets[0]["count"])
+    assert table.read([one]).count() == expect
+    # pruned read touches fewer files than a full read
+    snap = table.snapshot
+    n_files_one = len(snap.buckets[str(one)])
+    n_files_all = sum(len(v) for v in snap.buckets.values())
+    assert n_files_one < n_files_all
+
+
+def test_overwrite_buckets_replaces_only_those(spark, table):
+    df = _df(spark, [(f"d{i}", i) for i in range(40)])
+    table.overwrite_all(df, key_col="doc_id")
+    with_b = df.withColumn(BUCKET_COL, bucket_id(F.col("doc_id"), 4))
+    b0_rows = with_b.where(F.col(BUCKET_COL) == 0).drop(BUCKET_COL)
+    replacement = b0_rows.withColumn("n", F.col("n") + 1000)
+    table.overwrite_buckets([0], replacement, key_col="doc_id")
+    got = {r.doc_id: r.n for r in table.read().collect()}
+    for r in b0_rows.collect():
+        assert got[r.doc_id] == r.n + 1000
+    for r in with_b.where(F.col(BUCKET_COL) != 0).collect():
+        assert got[r.doc_id] == r.n
+
+
+def test_stray_bucket_rows_rejected(spark, table):
+    df = _df(spark, [(f"d{i}", i) for i in range(40)])
+    with pytest.raises(ValueError, match="outside declared buckets"):
+        table.overwrite_buckets([0], df, key_col="doc_id")
+
+
+def test_schema_evolution_metadata_commit_and_mixed_read(spark, table):
+    table.overwrite_all(_df(spark, [("a", 1)]), key_col="doc_id")
+    new_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n", T.LongType()),  # widened
+            T.StructField("lang", T.StringType()),  # added
+        ]
+    )
+    table.evolve_schema(new_schema)
+    assert table.schema["n"].dataType == T.LongType()
+    # old files read back coerced; new column null-filled
+    rows = table.read().collect()
+    assert rows[0].lang is None and rows[0].n == 1
+    # write post-evolution data into the same bucket space
+    df2 = spark.createDataFrame([("zz", 5, "en")], new_schema)
+    b = df2.withColumn(BUCKET_COL, bucket_id(F.col("doc_id"), 4)).collect()[0][BUCKET_COL]
+    table.overwrite_buckets([int(b)], df2, key_col="doc_id", schema=new_schema)
+    got = {r.doc_id: (r.n, r.lang) for r in table.read().collect()}
+    assert got["zz"] == (5, "en")
+    assert table.read().schema["n"].dataType == T.LongType()
+
+
+def test_atomic_commit_no_partial_state(spark, table, tmp_path):
+    table.overwrite_all(_df(spark, [("a", 1)]), key_col="doc_id")
+    v = table.snapshot.version
+    # orphan data (simulating a crash before snapshot rename) is invisible
+    orphan_dir = os.path.join(table.root, "data", "deadbeef")
+    os.makedirs(orphan_dir, exist_ok=True)
+    _df(spark, [("ghost", 9)]).write.mode("overwrite").parquet(os.path.join(orphan_dir, "x"))
+    table.refresh()
+    assert table.snapshot.version == v
+    assert {r.doc_id for r in table.read().collect()} == {"a"}
+
+
+def test_vacuum_removes_orphans(spark, table):
+    table.overwrite_all(_df(spark, [("a", 1), ("b", 2)]), key_col="doc_id")
+    table.overwrite_all(_df(spark, [("a", 7)]), key_col="doc_id")  # v2 replaces all
+    removed = table.vacuum()
+    assert removed > 0
+    assert {(r.doc_id, r.n) for r in table.read().collect()} == {("a", 7)}
+
+
+def test_history_and_lineage(spark, table):
+    table.overwrite_all(
+        _df(spark, [("a", 1)]),
+        key_col="doc_id",
+        lineage=[{"epoch": 1, "partition_id": 0}],
+    )
+    hist = table.history()
+    assert [s.version for s in hist] == [0, 1]
+    rows = table.manifest_rows()
+    assert rows and rows[0]["epoch"] == 1
