@@ -1,0 +1,172 @@
+"""Benchmark harness.
+
+Default: runs the headline CDC replay (the BASELINE.json metric:
+change-events applied/sec through the full engine) plus every
+operator-coverage query at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS],
+printing ONE JSON line:
+
+    {"metric": "cdc_events_applied_per_sec", "value": N, "unit": "events/sec",
+     "queries": {name: seconds, ...}, "sf": 0.1, ...}
+
+Modes:
+    python bench.py                 # full bench, one JSON line
+    python bench.py --cdc-only      # only the CDC replay (used by --scaling)
+    python bench.py --scaling       # same CDC job at 2 parallelism levels
+                                    # (local[8] vs local[32]) in separate
+                                    # processes; reports throughput at both
+                                    # plus scaling efficiency (north-rule
+                                    # evidence; see BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf() -> float:
+    tail = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _cdc_paths(sf: float) -> dict[str, str]:
+    """Generate (once, cached by params) the deterministic CDC workload:
+    base table + change log sized proportionally to sf."""
+    n_docs = max(2000, int(200_000 * sf))
+    n_events = max(20_000, int(2_000_000 * sf))
+    n_epochs = 8
+    cache = os.path.join(
+        tempfile.gettempdir(), f"cdc_bench_{n_docs}_{n_events}_{n_epochs}_s42"
+    )
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        from bigquery_etl_fork_spark import datagen
+
+        datagen.write_dataset(
+            cache,
+            n_docs=n_docs,
+            n_events=n_events,
+            n_epochs=n_epochs,
+            seed=42,
+            min_len=16,
+            max_len=128,
+        )
+        open(marker, "w").close()
+    return {
+        "base": os.path.join(cache, "base_sequences.parquet"),
+        "log": os.path.join(cache, "change_log.parquet"),
+        "n_events": n_events,
+        "n_docs": n_docs,
+    }
+
+
+def run_cdc(spark, sf: float, dedup_mode: str = "jvm", num_buckets: int = 64) -> dict:
+    from bigquery_etl_fork_spark.engine import CDCEngine
+    from bigquery_etl_fork_spark.lake import LakeTable
+
+    p = _cdc_paths(sf)
+    base = spark.read.parquet(p["base"])
+    root = tempfile.mkdtemp(prefix="cdc_bench_tbl_")
+    table = LakeTable.create(spark, root + "/t", base.schema, num_buckets=num_buckets)
+    table.overwrite_all(base, key_col="doc_id")
+    eng = CDCEngine(spark, table, dedup_mode=dedup_mode, count_input=False)
+    log = spark.read.parquet(p["log"])
+    total_events = log.count()  # includes duplicate deliveries
+    t0 = time.time()
+    eng.replay(log)
+    wall = time.time() - t0
+    return {
+        "events": total_events,
+        "seconds": round(wall, 3),
+        "events_per_sec": round(total_events / wall, 1),
+        "dedup_mode": dedup_mode,
+        "num_buckets": num_buckets,
+        "n_docs": p["n_docs"],
+        "final_rows": table.read().count(),
+    }
+
+
+def main() -> None:
+    from bigquery_etl_fork_spark.queries import QUERIES
+    from bigquery_etl_fork_spark.session import get_spark
+
+    cdc_only = "--cdc-only" in sys.argv
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+    sf = _sf()
+    # warm up JVM/codegen so timings measure the engine, not startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    cdc = run_cdc(spark, sf)
+    if cdc_only:
+        print(json.dumps({"cdc": cdc, "cpus": CPUS, "sf": sf}))
+        return
+
+    qsecs: dict[str, float] = {"cdc_replay": cdc["seconds"]}
+    for name, fn in QUERIES.items():
+        if name == "cdc_replay":
+            continue
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        qsecs[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "cdc_events_applied_per_sec",
+        "value": cdc["events_per_sec"],
+        "unit": "events/sec",
+        "queries": qsecs,
+        "sf": sf,
+        "cpus": CPUS,
+        "cdc": cdc,
+    }
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    """Run the CDC job at two parallelism levels in separate processes —
+    the in-sandbox evidence for the N→4N executor scaling criterion."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cdc-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)["cdc"]
+    tp8 = results[8]["events_per_sec"]
+    tp32 = results[32]["events_per_sec"]
+    eff = (tp32 / tp8) / 4.0
+    report = {
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "value": round(eff, 3),
+        "throughput_local8": tp8,
+        "throughput_local32": tp32,
+        "sf": _sf(),
+        "detail": results,
+    }
+    print(json.dumps(report))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

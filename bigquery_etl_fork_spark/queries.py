@@ -1,0 +1,580 @@
+"""Operator-coverage query library: Spark builders + DuckDB oracle SQL.
+
+Each entry re-expresses one operator family from SURVEY.md §2 over the
+driver-provided test tables. Every Spark query has a semantically identical
+ANSI-SQL oracle (run by DuckDB on the same parquet) with IDENTICAL column
+names and types; doubles are rounded on both sides so value hashes match.
+
+``cdc_replay`` is the flagship: it derives a deterministic change log from
+the ``events`` table, replays it through the full engine (lake table, LWW
+dedup, epoch fencing, merge), and returns the final state — with a pure-SQL
+LWW oracle proving final-state equality under token-array equality.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from . import functions as UF
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# §2.4 hash aggregate — TPC-H Q1-shaped pricing summary
+# (reference: ubiquitous GROUP BY, 531 files)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 multi-way equi-join + aggregate (Q3-shaped shipping priority)
+# --------------------------------------------------------------------------
+
+
+def q_join3_revenue(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1996-01-01"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+SQL_JOIN3 = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 FULL OUTER incremental pattern — previous-state ⋈ today-delta
+# (reference clients_last_seen_v2/query.sql:169-171, 111 files)
+# --------------------------------------------------------------------------
+
+
+def q_full_outer_incremental(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    prev = (
+        ev.where(F.col("ts") < F.lit("2024-01-15"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("prev_events"))
+    )
+    cur = (
+        ev.where(F.col("ts") >= F.lit("2024-01-15"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cur_events"))
+    )
+    j = prev.join(cur, on="user_id", how="full")
+    return j.select(
+        F.col("user_id"),
+        F.coalesce("prev_events", F.lit(0)).alias("prev_events"),
+        F.coalesce("cur_events", F.lit(0)).alias("cur_events"),
+        (F.coalesce("prev_events", F.lit(0)) + F.coalesce("cur_events", F.lit(0))).alias(
+            "total_events"
+        ),
+    )
+
+
+SQL_FULL_OUTER = """
+WITH prev AS (SELECT user_id, count(*) AS prev_events FROM events
+              WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id),
+     cur AS (SELECT user_id, count(*) AS cur_events FROM events
+             WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY user_id)
+SELECT coalesce(prev.user_id, cur.user_id) AS user_id,
+       coalesce(prev_events, 0) AS prev_events,
+       coalesce(cur_events, 0) AS cur_events,
+       coalesce(prev_events, 0) + coalesce(cur_events, 0) AS total_events
+FROM prev FULL OUTER JOIN cur ON prev.user_id = cur.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 anti-join (the delete-apply primitive, shredder delete.py:377-427)
+# and semi-join (IN-subquery, delete.py:345-375)
+# --------------------------------------------------------------------------
+
+
+def q_anti_join(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+SQL_ANTI = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 window dedup — ROW_NUMBER latest-row-per-key (QUALIFY analog;
+# reference copy_deduplicate.py:70, 112 files)
+# --------------------------------------------------------------------------
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_LATEST = """
+SELECT user_id, event_id, event_type FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+"""
+
+
+def q_lag_delta(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    sec = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (sec - F.lag(sec).over(w)).cast("long").alias("secs_since_prev"),
+    )
+
+
+SQL_LAG = """
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY event_id) AS secs_since_prev
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 mode_last custom aggregate (sql/mozfun/stats/mode_last/udf.sql)
+# --------------------------------------------------------------------------
+
+
+def q_mode_last(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    return ev.groupBy("user_id").agg(UF.mode_last(ordered).alias("mode_event_type"))
+
+
+SQL_MODE_LAST = """
+WITH c AS (SELECT user_id, event_type, count(*) AS cnt, max(event_id) AS last_id
+           FROM events GROUP BY user_id, event_type)
+SELECT user_id, event_type AS mode_event_type FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, last_id DESC) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.9 bit-packed activity calculus (BIT_OR(1<<off), days_since_seen)
+# --------------------------------------------------------------------------
+
+
+def q_days_seen_bits(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    off = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    return (
+        ev.where(off < 28)
+        .groupBy("user_id")
+        .agg(F.bit_or(UF.bits_from_offset(off)).alias("days_seen_bits"))
+        .select(
+            "user_id",
+            "days_seen_bits",
+            UF.days_since_seen(F.col("days_seen_bits")).alias("days_since_first_seen"),
+        )
+    )
+
+
+SQL_DAYS_SEEN = """
+WITH b AS (
+  SELECT user_id,
+         bit_or(1 << datediff('day', DATE '2024-01-01', ts)) AS days_seen_bits
+  FROM events WHERE datediff('day', DATE '2024-01-01', ts) < 28
+  GROUP BY user_id)
+SELECT user_id, days_seen_bits,
+       CAST(floor(log2(days_seen_bits & -days_seen_bits)) AS INT)
+         AS days_since_first_seen
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 STRING_AGG ordered event-sequence encoding (events_daily_v1:88)
+# --------------------------------------------------------------------------
+
+
+def q_event_sequence(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+        ",",
+    )
+    return ev.groupBy("user_id").agg(seq.alias("event_seq"))
+
+
+SQL_EVENT_SEQ = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS event_seq
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.8 JSON extraction (63 reference files use JSON_VALUE/JSON_EXTRACT)
+# --------------------------------------------------------------------------
+
+
+def q_json_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+SQL_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 percentiles (APPROX_QUANTILES / PERCENTILE_CONT analog — exact here)
+# --------------------------------------------------------------------------
+
+
+def q_percentiles(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7 set ops — EXCEPT DISTINCT
+# --------------------------------------------------------------------------
+
+
+def q_except_types(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    jan = ev.where(F.col("ts") < F.lit("2024-01-10")).select("user_id").distinct()
+    late = ev.where(F.col("ts") >= F.lit("2024-01-10")).select("user_id").distinct()
+    return jan.exceptAll(late).distinct().select(F.col("user_id").alias("churned_user_id"))
+
+
+SQL_EXCEPT = """
+SELECT user_id AS churned_user_id FROM events WHERE ts < TIMESTAMP '2024-01-10'
+EXCEPT
+SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-10'
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis over documents (training-data pipeline ops)
+# --------------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_alpha_tokens"),
+        F.round(
+            (F.length("text") - (n_words - 1)) / n_words,
+            4,
+        ).alias("avg_word_len"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+       round((length(text) - (len(string_split(text, ' ')) - 1))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_word_len
+FROM documents
+"""
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact dedup: canonical (min) doc_id per content hash."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.md5("text").alias("h"))
+    canon = h.groupBy("h").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+    return h.join(canon, on="h").select("doc_id", "canonical_id", "n_copies")
+
+
+SQL_EXACT_DEDUP = """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+     canon AS (SELECT h, min(doc_id) AS canonical_id, count(*) AS n_copies
+               FROM h GROUP BY h)
+SELECT doc_id, canonical_id, n_copies FROM h JOIN canon USING (h)
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k against a fixed query vector
+# --------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark, sf_dir, k: int = 10):
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qcol = F.array(*[F.lit(float(v)) for v in qvec])
+    e = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(F.zip_with(e, qcol, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+    n1 = F.sqrt(F.aggregate(F.transform(e, lambda a: a * a), F.lit(0.0), lambda s, x: s + x))
+    n2 = F.sqrt(F.aggregate(F.transform(qcol, lambda a: a * a), F.lit(0.0), lambda s, x: s + x))
+    sim = dot / (n1 * n2)
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))) AS sim
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, round(sim, 6) AS cos_sim FROM s
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# FLAGSHIP: full CDC replay through the engine, with a pure-SQL LWW oracle.
+# Change log derived deterministically from `events`; base from `documents`.
+# --------------------------------------------------------------------------
+
+
+def _cdc_inputs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    ev = load(spark, sf_dir, "events")
+    nd = docs.count()
+    mx = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    base = docs.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda w: F.length(w)).alias("tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        "source",
+    )
+    chg = ev.select(
+        F.col("event_id").alias("lsn"),
+        (F.floor(F.col("event_id") * 4.0 / mx) + 1).cast("int").alias("epoch"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.pmod(F.col("user_id"), F.lit(nd)).alias("doc_id"),
+        F.array(
+            F.get_json_object("props", "$.k").cast("int"),
+            F.pmod(F.col("user_id"), F.lit(97)).cast("int"),
+            F.pmod(F.col("event_id"), F.lit(31)).cast("int"),
+        ).alias("tokens"),
+        F.lit(3).alias("n_tok"),
+        F.lit("cdc").alias("source"),
+        F.col("ts").alias("event_ts"),
+    )
+    return base, chg
+
+
+def q_cdc_replay(spark, sf_dir, dedup_mode: str = "jvm", num_buckets: int = 16):
+    from .engine import CDCEngine
+    from .lake import LakeTable
+
+    base, chg = _cdc_inputs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_replay_")
+    table = LakeTable.create(spark, root + "/t", base.schema, num_buckets=num_buckets)
+    table.overwrite_all(base, key_col="doc_id")
+    eng = CDCEngine(spark, table, dedup_mode=dedup_mode, count_input=False)
+    eng.replay(chg)
+    st = table.read()
+    return st.select(
+        "doc_id",
+        F.array_join(F.transform("tokens", lambda t: t.cast("string")), ",").alias("toks"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+    )
+
+
+SQL_CDC_REPLAY = """
+WITH base AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens,
+         source
+  FROM documents),
+chg AS (
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type = 'signup' THEN 'I'
+              ELSE 'U' END AS op,
+         user_id % (SELECT count(*) FROM documents) AS doc_id,
+         [CAST(json_extract_string(props, '$.k') AS BIGINT),
+          user_id % 97, event_id % 31] AS tokens,
+         'cdc' AS source
+  FROM events),
+last AS (
+  SELECT * FROM chg
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) = 1),
+surv AS (
+  SELECT doc_id, tokens, source FROM base
+  WHERE doc_id NOT IN (SELECT doc_id FROM last)),
+fin AS (
+  SELECT doc_id, tokens, source FROM surv
+  UNION ALL
+  SELECT doc_id, tokens, source FROM last WHERE op <> 'D')
+SELECT doc_id,
+       array_to_string(tokens, ',') AS toks,
+       CAST(len(tokens) AS BIGINT) AS n_tok,
+       source
+FROM fin
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "join3_revenue": q_join3_revenue,
+    "full_outer_incremental": q_full_outer_incremental,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "latest_event_per_user": q_latest_event_per_user,
+    "lag_delta": q_lag_delta,
+    "mode_last": q_mode_last,
+    "days_seen_bits": q_days_seen_bits,
+    "event_sequence": q_event_sequence,
+    "json_extract": q_json_extract,
+    "percentiles": q_percentiles,
+    "except_churned": q_except_types,
+    "text_stats": q_text_stats,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "cosine_topk": q_cosine_topk,
+    "cdc_replay": q_cdc_replay,
+}
+
+ORACLES = {
+    "pricing_summary": SQL_PRICING,
+    "join3_revenue": SQL_JOIN3,
+    "full_outer_incremental": SQL_FULL_OUTER,
+    "anti_join": SQL_ANTI,
+    "semi_join": SQL_SEMI,
+    "latest_event_per_user": SQL_LATEST,
+    "lag_delta": SQL_LAG,
+    "mode_last": SQL_MODE_LAST,
+    "days_seen_bits": SQL_DAYS_SEEN,
+    "event_sequence": SQL_EVENT_SEQ,
+    "json_extract": SQL_JSON,
+    "percentiles": SQL_PERCENTILES,
+    "except_churned": SQL_EXCEPT,
+    "text_stats": SQL_TEXT_STATS,
+    "exact_dedup_docs": SQL_EXACT_DEDUP,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "cdc_replay": SQL_CDC_REPLAY,
+}
