@@ -173,17 +173,19 @@ def write_dataset(
     """Write base + change log parquet under out_dir; returns paths."""
     os.makedirs(out_dir, exist_ok=True)
     base_path = os.path.join(out_dir, "base_sequences.parquet")
-    log_path = os.path.join(out_dir, "change_log.parquet")
+    log_path = os.path.join(out_dir, "change_log")
     pq.write_table(base_table(n_docs=n_docs, seed=seed), base_path)
-    pq.write_table(
-        change_log(
-            n_docs=n_docs,
-            n_events=n_events,
-            n_epochs=n_epochs,
-            seed=seed + 1,
-            evolve_at_epoch=evolve_at_epoch,
-            **log_kwargs,
-        ),
-        log_path,
+    log = change_log(
+        n_docs=n_docs,
+        n_events=n_events,
+        n_epochs=n_epochs,
+        seed=seed + 1,
+        evolve_at_epoch=evolve_at_epoch,
+        **log_kwargs,
     )
+    # binlog-segment layout: one directory per epoch (hive-style), so the
+    # engine's per-epoch filter becomes a partition-pruned scan instead of a
+    # full-log rescan — the analog of reading one WAL segment per commit.
+    # Small row groups keep the scan splittable across many cores.
+    pq.write_to_dataset(log, log_path, partition_cols=["epoch"], row_group_size=16384)
     return {"base": base_path, "log": log_path}

@@ -42,7 +42,7 @@ from pyspark.sql import types as T
 
 from ..lake import BUCKET_COL, LakeTable, bucket_id
 from ..operators.dedup_lww import lww_dedup, lww_dedup_salted
-from ..operators.merge import OP_DELETE, merge_delta
+from ..operators.merge import OP_DELETE, merge_delta_clustered
 from ..operators.skew import is_skewed
 from ..schema_evolution import compat_select, is_write_compatible, merge_schemas
 
@@ -91,12 +91,20 @@ class CDCEngine:
         order: str = "lsn",
         op_col: str = "op",
         epoch_col: str = "epoch",
+        storage_mode: str = "mor",
         dedup_mode: str = "jvm",
         salt: str = "auto",
         salt_n: int = 16,
         hot_threshold: int = 100_000,
         count_input: bool = True,
+        shuffle_partition_bytes: int = 64 * 1024 * 1024,
+        min_shuffle_partitions: int = 8,
+        max_shuffle_partitions: int = 4096,
+        compact_files_per_bucket: int = 4,
     ):
+        if storage_mode not in ("mor", "cow"):
+            raise ValueError(f"unknown storage_mode {storage_mode!r}")
+        self.storage_mode = storage_mode
         self.spark = spark
         self.table = table
         self.key = key
@@ -108,6 +116,10 @@ class CDCEngine:
         self.salt_n = salt_n
         self.hot_threshold = hot_threshold
         self.count_input = count_input
+        self.shuffle_partition_bytes = shuffle_partition_bytes
+        self.min_shuffle_partitions = min_shuffle_partitions
+        self.max_shuffle_partitions = max_shuffle_partitions
+        self.compact_files_per_bucket = compact_files_per_bucket
 
     # ---------------- public API ----------------
 
@@ -123,6 +135,7 @@ class CDCEngine:
                 r[0]
                 for r in log.select(self.epoch_col).distinct().orderBy(self.epoch_col).collect()
             ]
+            self._epoch_bytes_hint = self._estimate_bytes(log) // max(len(epochs), 1)
             batches: Iterable[tuple[int, DataFrame]] = (
                 (e, log.where(F.col(self.epoch_col) == F.lit(e))) for e in epochs
             )
@@ -140,9 +153,61 @@ class CDCEngine:
                 raise SimulatedCrash(f"simulated crash after committing epoch {epoch}")
         return stats
 
-    def apply_epoch(self, epoch: int, events: DataFrame) -> EpochStats:
+    def _estimate_bytes(self, df: DataFrame) -> int:
+        """Cheap input-size estimate from the scan's file list (driver-side)."""
+        import os as _os
+
+        total = 0
+        for f in df.inputFiles():
+            p = f.removeprefix("file:")
+            try:
+                total += _os.path.getsize(p)
+            except OSError:
+                pass
+        return total
+
+    def _sized_shuffle_partitions(self, est_bytes: int) -> int:
+        """Partitions for this epoch's shuffles: one per ~shuffle_partition_bytes
+        of input, never below cluster parallelism, clamped above. At
+        10^10-event scale this lands in the thousands; for a small epoch it
+        avoids paying scheduling overhead for hundreds of empty tasks (the
+        ``--slices`` memory/parallelism knob of the reference dedup,
+        ``copy_deduplicate.py:298-312``, made automatic)."""
+        cores = self.spark.sparkContext.defaultParallelism
+        n = max(est_bytes // self.shuffle_partition_bytes, self.min_shuffle_partitions, cores)
+        return int(min(n, self.max_shuffle_partitions))
+
+    def _sized_split_bytes(self, est_bytes: int) -> int:
+        """Input-split size so an epoch scan fans out across all cores
+        (``spark.sql.files.maxPartitionBytes``): est/parallelism, clamped to
+        [4 MiB, 128 MiB]. At cluster scale this stays at the 128 MiB default."""
+        cores = self.spark.sparkContext.defaultParallelism
+        return int(min(max(est_bytes // max(cores, 1), 4 << 20), 128 << 20))
+
+    def apply_epoch(
+        self, epoch: int, events: DataFrame, est_bytes: int | None = None
+    ) -> EpochStats:
         """Apply one epoch atomically: dedup → (evolve schema) → merge → commit."""
         t0 = time.time()
+        if est_bytes is None:
+            est_bytes = getattr(self, "_epoch_bytes_hint", None)
+        prev_shuffle = self.spark.conf.get("spark.sql.shuffle.partitions")
+        prev_split = self.spark.conf.get("spark.sql.files.maxPartitionBytes")
+        if est_bytes is not None:
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(self._sized_shuffle_partitions(est_bytes)),
+            )
+            self.spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(self._sized_split_bytes(est_bytes))
+            )
+        try:
+            return self._apply_epoch_inner(epoch, events, t0)
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+
+    def _apply_epoch_inner(self, epoch: int, events: DataFrame, t0: float) -> EpochStats:
         events_in = events.count() if self.count_input else -1
 
         # ---- schema evolution (additive columns / widening) ----
@@ -155,7 +220,40 @@ class CDCEngine:
             self.table.evolve_schema(target)  # idempotent metadata commit
             target = self.table.schema
 
-        # ---- LWW dedup (one row per key) ----
+        # ---- probe job: lineage + affected buckets, column-pruned ----
+        # Reads ONLY (key, lsn, op) from the epoch slice — token payloads are
+        # never decoded here (Parquet column pruning), so this job is cheap
+        # even when payloads dominate bytes. LWW winners for the op/lsn
+        # lineage are found with the same max(struct(lsn, op)) reduce the
+        # payload dedup uses, so the two jobs agree deterministically.
+        probe = events.select(self.key, self.order, self.op_col)
+        win = lww_dedup(probe, self.key, self.order, mode="jvm")
+        lin = (
+            win.withColumn(BUCKET_COL, bucket_id(F.col(self.key), self.table.num_buckets))
+            .groupBy(BUCKET_COL)
+            .agg(
+                F.sum(F.when(F.col(self.op_col) != OP_DELETE, 1).otherwise(0)).alias("ups"),
+                F.sum(F.when(F.col(self.op_col) == OP_DELETE, 1).otherwise(0)).alias("dels"),
+                F.min(self.order).alias("lsn_start"),
+                F.max(self.order).alias("lsn_end"),
+            )
+            .collect()
+        )
+        affected = [int(r[BUCKET_COL]) for r in lin]
+        rows_upserted = sum(int(r["ups"]) for r in lin)
+        rows_deleted = sum(int(r["dels"]) for r in lin)
+
+        if not affected:  # empty epoch: manifest row, no data change
+            self.table._commit(
+                {},
+                None,
+                None,
+                {WATERMARK_PROP: epoch},
+                [self._lineage_row(epoch, -1, None, None, 0, 0, 0, t0)],
+            )
+            return EpochStats(epoch, events_in, 0, 0, 0, time.time() - t0)
+
+        # ---- write job: dedup(with payload) + merge + write, one action ----
         slim = events.select(self.key, self.order, self.op_col, *
                              [f.name for f in target.fields if f.name != self.key
                               and f.name in events.columns])
@@ -170,74 +268,90 @@ class CDCEngine:
             )
         else:
             deduped = lww_dedup(slim, self.key, self.order, mode=self.dedup_mode)
-        deduped = deduped.withColumn(
-            BUCKET_COL, bucket_id(F.col(self.key), self.table.num_buckets)
-        )
-        deduped = deduped.persist()
-        try:
-            # ---- lineage pre-aggregation (tiny: ≤ num_buckets rows) ----
-            lin = (
-                deduped.groupBy(BUCKET_COL)
-                .agg(
-                    F.sum(F.when(F.col(self.op_col) != OP_DELETE, 1).otherwise(0)).alias("ups"),
-                    F.sum(F.when(F.col(self.op_col) == OP_DELETE, 1).otherwise(0)).alias("dels"),
-                    F.min(self.order).alias("lsn_start"),
-                    F.max(self.order).alias("lsn_end"),
-                )
-                .collect()
+
+        lineage_rows = [
+            self._lineage_row(
+                epoch,
+                int(r[BUCKET_COL]),
+                int(r["lsn_start"]),
+                int(r["lsn_end"]),
+                int(r["ups"]),
+                int(r["dels"]),
+                0,
+                t0,
             )
-            affected = [int(r[BUCKET_COL]) for r in lin]
-            rows_upserted = sum(int(r["ups"]) for r in lin)
-            rows_deleted = sum(int(r["dels"]) for r in lin)
+            for r in lin
+        ]
+        props = {WATERMARK_PROP: epoch, "key_col": self.key}
 
-            if not affected:  # empty epoch: manifest row, no data change
-                self.table._commit(
-                    {},
-                    None,
-                    None,
-                    {WATERMARK_PROP: epoch},
-                    [self._lineage_row(epoch, -1, None, None, 0, 0, 0, t0)],
+        if self.storage_mode == "mor":
+            # merge-on-read fast path: append the LWW-deduped delta (payload
+            # + lsn + op, op='D' rows as tombstones). O(delta) cost — no
+            # state read, no anti join, no state rewrite this epoch.
+            target_plus = T.StructType(
+                list(target.fields)
+                + [
+                    T.StructField(self.order, T.LongType()),
+                    T.StructField(self.op_col, T.StringType()),
+                ]
+            )
+            aligned = compat_select(deduped, target_plus)
+            self.table.append_delta(
+                affected, aligned, key_col=self.key,
+                properties_update=props, lineage=lineage_rows,
+            )
+            # amortized compaction: fold deltas into base when a bucket's
+            # delta-file count hits the threshold (Iceberg
+            # rewrite_data_files / LSM minor-compaction analog)
+            counts = self.table.delta_file_counts(affected)
+            to_compact = [b for b, c in counts.items() if c >= self.compact_files_per_bucket]
+            if to_compact:
+                self.table.compact_buckets(
+                    to_compact, key_col=self.key, order_col=self.order, op_col=self.op_col
                 )
-                return EpochStats(epoch, events_in, 0, 0, 0, time.time() - t0)
-
-            # ---- merge into affected buckets only ----
-            current = self.table.read(affected)
+        else:
+            current = self.table.read(affected, key_col=self.key)
             state_cols = [f.name for f in target.fields]
-            delta = deduped.drop(BUCKET_COL)
-            # coerce payload to target types (null-fill/widen) while carrying op
+            # coerce payload to target types (null-fill/widen), carrying op
             target_plus_op = T.StructType(
                 list(target.fields) + [T.StructField(self.op_col, T.StringType())]
             )
-            aligned = compat_select(delta, target_plus_op)
-            merged = merge_delta(
-                current, aligned, key=self.key, op_col=self.op_col, payload_cols=state_cols
+            aligned = compat_select(deduped, target_plus_op)
+            # survivors anti-join keys come from a column-pruned distinct
+            # over the epoch slice (same key set as the dedup output) so the
+            # payload-dedup subtree is computed exactly once per epoch.
+            delta_keys = events.select(self.key).distinct()
+            nb = self.table.num_buckets
+            merged = merge_delta_clustered(
+                current,
+                aligned,
+                bucket_expr=lambda c: bucket_id(c, nb),
+                bucket_col=BUCKET_COL,
+                key=self.key,
+                op_col=self.op_col,
+                payload_cols=state_cols,
+                delta_keys=delta_keys,
             )
-
-            lineage_rows = [
-                self._lineage_row(
-                    epoch,
-                    int(r[BUCKET_COL]),
-                    int(r["lsn_start"]),
-                    int(r["lsn_end"]),
-                    int(r["ups"]),
-                    int(r["dels"]),
-                    0,
-                    t0,
-                )
-                for r in lin
-            ]
+            # Shuffle-free write keeps state bytes in place but adds ~1 file
+            # per bucket per epoch (survivor fragments); at the threshold,
+            # fold a compaction into this epoch's write (one clustering
+            # shuffle resets affected buckets to a single file each).
+            frag = max(
+                (len(self.table.snapshot.buckets.get(str(b), [])) for b in affected),
+                default=0,
+            )
+            compact = frag >= self.compact_files_per_bucket
             self.table.overwrite_buckets(
                 affected,
                 merged,
                 key_col=self.key,
-                properties_update={WATERMARK_PROP: epoch},
+                properties_update=props,
                 lineage=lineage_rows,
+                pre_clustered=not compact,
             )
-            return EpochStats(
-                epoch, events_in, rows_upserted, rows_deleted, len(affected), time.time() - t0
-            )
-        finally:
-            deduped.unpersist()
+        return EpochStats(
+            epoch, events_in, rows_upserted, rows_deleted, len(affected), time.time() - t0
+        )
 
     # ---------------- helpers ----------------
 

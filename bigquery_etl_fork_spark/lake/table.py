@@ -35,6 +35,7 @@ import os
 import shutil
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -159,29 +160,19 @@ class LakeTable:
 
     # ---------------- read path ----------------
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """DataFrame of the current table state, pruned to ``buckets``.
-
-        Files are grouped by the schema they were written with; each group is
-        coerced to the current schema via ``compat_select`` (null-fill added
-        columns, widen int32→int64) — the projection-based evolution of the
-        reference (``schema/__init__.py:303-440``), all Catalyst expressions.
-        """
+    def _read_files(
+        self, entries: list[tuple[str, str]], target: T.StructType
+    ) -> DataFrame | None:
+        """Read (schema_id, path) entries, coercing each schema group to
+        ``target`` via ``compat_select`` (null-fill added columns, widen
+        int32→int64) — the projection-based evolution of the reference
+        (``schema/__init__.py:303-440``), all Catalyst expressions."""
         snap = self._snapshot
-        target = snap.schema
-        sel = (
-            [str(b) for b in buckets]
-            if buckets is not None
-            else list(snap.buckets.keys())
-        )
         by_schema: dict[str, list[str]] = {}
-        for b in sel:
-            for f in snap.buckets.get(b, []):
-                by_schema.setdefault(str(f["schema_id"]), []).append(
-                    os.path.join(self.root, f["path"])
-                )
+        for sid, path in entries:
+            by_schema.setdefault(sid, []).append(os.path.join(self.root, path))
         if not by_schema:
-            return self.spark.createDataFrame([], target)
+            return None
         parts = []
         for sid, paths in by_schema.items():
             file_schema = T.StructType.fromJson(json.loads(snap.schemas[sid]))
@@ -192,46 +183,125 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def _entries(self, buckets: list[int] | None, kind: str) -> list[tuple[str, str]]:
+        snap = self._snapshot
+        sel = [str(b) for b in buckets] if buckets is not None else list(snap.buckets.keys())
+        return [
+            (str(f["schema_id"]), f["path"])
+            for b in sel
+            for f in snap.buckets.get(b, [])
+            if f.get("kind", "base") == kind
+        ]
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        key_col: str | None = None,
+        order_col: str = "lsn",
+        op_col: str = "op",
+    ) -> DataFrame:
+        """Current table state, pruned to ``buckets``.
+
+        With merge-on-read delta files present, resolution happens here:
+        base rows (order = -1) and delta rows (real LSN) are unioned and the
+        max-LSN row per key wins; tombstones (op = 'D') are dropped. Without
+        deltas this is a plain pruned scan (no shuffle). ``key_col`` is
+        required only when deltas exist (the engine always passes it).
+        """
+        snap = self._snapshot
+        target = snap.schema
+        base = self._read_files(self._entries(buckets, "base"), target)
+        delta_entries = self._entries(buckets, "delta")
+        if not delta_entries:
+            return base if base is not None else self.spark.createDataFrame([], target)
+
+        if key_col is None:
+            key_col = snap.properties.get("key_col")
+        if key_col is None:
+            raise ValueError("key_col required to resolve merge-on-read deltas")
+        delta_schema = T.StructType(
+            list(target.fields)
+            + [T.StructField(order_col, T.LongType()), T.StructField(op_col, T.StringType())]
+        )
+        delta = self._read_files(delta_entries, delta_schema)
+        if base is None:
+            u = delta
+        else:
+            base_tagged = base.withColumn(order_col, F.lit(-1).cast("long")).withColumn(
+                op_col, F.lit("U")
+            )
+            u = base_tagged.unionByName(delta)
+        # LWW resolution: one hash-aggregate keyed on key_col (max over
+        # struct(order, op, payload) — same reduce as the write-side dedup).
+        payload = [f.name for f in target.fields if f.name != key_col]
+        packed = F.max(
+            F.struct(
+                F.col(order_col).alias(order_col),
+                F.col(op_col).alias(op_col),
+                *[F.col(c).alias(c) for c in payload],
+            )
+        )
+        resolved = (
+            u.groupBy(key_col)
+            .agg(packed.alias("_w"))
+            .where(F.col(f"_w.{op_col}") != "D")
+            .select(key_col, *[F.col(f"_w.{c}").alias(c) for c in payload])
+        )
+        # restore declared column order
+        return resolved.select(*[f.name for f in target.fields])
+
     # ---------------- write path ----------------
 
     def _stats_for_dir(self, commit_dir: str) -> dict[str, list[dict[str, Any]]]:
         """Walk a freshly written ``_b=NN`` partitioned dir; collect per-file
         row/byte stats from Parquet footers (driver-side, cheap)."""
-        out: dict[str, list[dict[str, Any]]] = {}
+        todo: list[tuple[str, str]] = []
         for entry in sorted(os.listdir(commit_dir)):
             if not entry.startswith(f"{BUCKET_COL}="):
                 continue
             b = str(int(entry.split("=")[1]))
             bdir = os.path.join(commit_dir, entry)
             for fn in sorted(os.listdir(bdir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                fp = os.path.join(bdir, fn)
-                meta = pq.read_metadata(fp)
-                out.setdefault(b, []).append(
-                    {
-                        "path": os.path.relpath(fp, self.root),
-                        "rows": meta.num_rows,
-                        "bytes": os.path.getsize(fp),
-                    }
-                )
+                if fn.endswith(".parquet"):
+                    todo.append((b, os.path.join(bdir, fn)))
+
+        def stat_one(item: tuple[str, str]) -> tuple[str, dict[str, Any]]:
+            b, fp = item
+            return b, {
+                "path": os.path.relpath(fp, self.root),
+                "rows": pq.read_metadata(fp).num_rows,
+                "bytes": os.path.getsize(fp),
+            }
+
+        out: dict[str, list[dict[str, Any]]] = {}
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            for b, rec in ex.map(stat_one, todo):
+                out.setdefault(b, []).append(rec)
         return out
 
-    def _write_data(self, df: DataFrame, key_col: str | None) -> tuple[str, dict]:
+    def _write_data(
+        self, df: DataFrame, key_col: str | None, pre_clustered: bool = False
+    ) -> tuple[str, dict]:
         """Write df (optionally adding the bucket column from key_col) into a
-        fresh commit dir, partitioned by bucket. Returns (commit_id, stats)."""
+        fresh commit dir, partitioned by bucket. Returns (commit_id, stats).
+
+        pre_clustered=True skips the clustering shuffle: the caller asserts
+        each input task touches few buckets (e.g. survivors read straight
+        from per-bucket files + a delta already repartitioned on the bucket
+        column). This is how a CDC merge avoids ever shuffling the large
+        current-state side — only the delta moves.
+        """
         commit_id = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self.root, _DATA_DIR, commit_id)
         if BUCKET_COL not in df.columns:
             if key_col is None:
                 raise ValueError("need key_col to derive bucket column")
             df = df.withColumn(BUCKET_COL, bucket_id(F.col(key_col), self.num_buckets))
-        # One shuffle clusters rows by bucket so each bucket lands in few
-        # files (AQE coalesces small partitions); this is the WRITE ORDERED BY
-        # clustering analog.
-        df.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
-            commit_dir
-        )
+        if not pre_clustered:
+            # One shuffle clusters rows by bucket so each bucket lands in few
+            # files; this is the WRITE ORDERED BY clustering analog.
+            df = df.repartition(BUCKET_COL)
+        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir)
         return commit_id, self._stats_for_dir(commit_dir)
 
     @staticmethod
@@ -254,6 +324,8 @@ class LakeTable:
         schema: T.StructType | None,
         properties_update: dict[str, Any] | None,
         lineage: list[dict[str, Any]] | None,
+        new_kind: str = "base",
+        aux_schema: T.StructType | None = None,
     ) -> Snapshot:
         prev = self._snapshot
         schemas = dict(prev.schemas)
@@ -263,13 +335,25 @@ class LakeTable:
                 raise ValueError("schema evolution must be widening/additive")
             schema_id = max(int(k) for k in schemas) + 1
             schemas[str(schema_id)] = schema.json()
+        entry_sid = schema_id
+        if aux_schema is not None:
+            # delta files carry their own physical schema (payload + lsn/op);
+            # register it (deduped by exact JSON) alongside table schemas
+            aux_json = aux_schema.json()
+            hit = next((k for k, v in schemas.items() if v == aux_json), None)
+            if hit is None:
+                hit = str(max(int(k) for k in schemas) + 1)
+                schemas[hit] = aux_json
+            entry_sid = int(hit)
         buckets = {k: list(v) for k, v in prev.buckets.items()}
         if replaced_buckets is not None:
             for b in replaced_buckets:
                 buckets[str(b)] = []
         for b, files in new_buckets.items():
             buckets.setdefault(b, [])
-            buckets[b] = buckets[b] + [{**f, "schema_id": schema_id} for f in files]
+            buckets[b] = buckets[b] + [
+                {**f, "schema_id": entry_sid, "kind": new_kind} for f in files
+            ]
         props = dict(prev.properties)
         props.update(properties_update or {})
         snap = Snapshot(
@@ -313,12 +397,13 @@ class LakeTable:
         schema: T.StructType | None = None,
         properties_update: dict[str, Any] | None = None,
         lineage: list[dict[str, Any]] | None = None,
+        pre_clustered: bool = False,
     ) -> Snapshot:
         """Atomically replace the given buckets with df's rows (which must all
         belong to those buckets). The engine's MERGE commit primitive."""
         if schema is not None and schema != self.schema:
             df = compat_select(df, schema) if df.schema != schema else df
-        _, stats = self._write_data(df, key_col)
+        _, stats = self._write_data(df, key_col, pre_clustered=pre_clustered)
         stray = set(stats.keys()) - {str(b) for b in buckets}
         if stray:
             raise ValueError(f"rows written outside declared buckets: {sorted(stray)}")
@@ -333,6 +418,59 @@ class LakeTable:
             properties_update=properties_update,
             lineage=lineage,
         )
+
+    def append_delta(
+        self,
+        buckets: list[int],
+        df: DataFrame,
+        key_col: str,
+        properties_update: dict[str, Any] | None = None,
+        lineage: list[dict[str, Any]] | None = None,
+    ) -> Snapshot:
+        """Merge-on-read commit: append LWW-resolvable delta files (payload +
+        order + op columns, op='D' rows are tombstones) for the given
+        buckets. O(delta) write cost — no state read, no state rewrite. The
+        LSM-style fast path for CDC ingest; ``compact_buckets`` folds deltas
+        back into base files."""
+        aux_schema = T.StructType([f for f in df.schema.fields if f.name != BUCKET_COL])
+        _, stats = self._write_data(df, key_col)
+        stray = set(stats.keys()) - {str(b) for b in buckets}
+        if stray:
+            raise ValueError(f"delta rows written outside declared buckets: {sorted(stray)}")
+        for row in lineage or []:
+            files = stats.get(str(row.get("partition_id")), [])
+            row["bytes_written"] = sum(f["bytes"] for f in files)
+            row["rows_written"] = sum(f["rows"] for f in files)
+        return self._commit(
+            stats,
+            replaced_buckets=None,
+            schema=None,
+            properties_update=properties_update,
+            lineage=lineage,
+            new_kind="delta",
+            aux_schema=aux_schema,
+        )
+
+    def delta_file_counts(self, buckets: list[int] | None = None) -> dict[int, int]:
+        snap = self._snapshot
+        sel = [str(b) for b in buckets] if buckets is not None else list(snap.buckets.keys())
+        return {
+            int(b): sum(1 for f in snap.buckets.get(b, []) if f.get("kind", "base") == "delta")
+            for b in sel
+        }
+
+    def compact_buckets(
+        self,
+        buckets: list[int],
+        key_col: str,
+        order_col: str = "lsn",
+        op_col: str = "op",
+    ) -> Snapshot:
+        """Fold delta files into base files for the given buckets (the
+        Iceberg rewrite_data_files analog): resolve merge-on-read state, then
+        atomically replace those buckets with clustered base files."""
+        resolved = self.read(buckets, key_col=key_col, order_col=order_col, op_col=op_col)
+        return self.overwrite_buckets(buckets, resolved, key_col=key_col)
 
     def evolve_schema(self, new_schema: T.StructType) -> Snapshot:
         """Metadata-only commit applying an additive/widening schema change

@@ -33,6 +33,7 @@ def merge_delta(
     op_col: str = "op",
     payload_cols: list[str] | None = None,
     broadcast_keys: bool = True,
+    delta_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a LWW-deduped delta (one row per key, with op I/U/D) to current.
 
@@ -42,10 +43,17 @@ def merge_delta(
       - all other current rows           -> carried through untouched
     Absent-key deletes are no-ops (anti join semantics), matching the
     shredder's behavior on already-deleted rows.
+
+    ``delta_keys`` may supply the key set from a cheaper (column-pruned)
+    subtree than the payload-carrying delta — it must cover exactly the same
+    keys.
     """
     if payload_cols is None:
         payload_cols = [c for c in current.columns]
-    delta_keys = deduped_delta.select(key)
+    if delta_keys is None:
+        delta_keys = deduped_delta.select(key)
+    else:
+        delta_keys = delta_keys.select(key).distinct()
     if broadcast_keys:
         delta_keys = F.broadcast(delta_keys)
     survivors = current.join(delta_keys, on=key, how="left_anti")
@@ -53,3 +61,44 @@ def merge_delta(
         *[F.col(c) for c in payload_cols]
     )
     return survivors.select(*payload_cols).unionByName(upserts)
+
+
+def merge_delta_clustered(
+    current: DataFrame,
+    deduped_delta: DataFrame,
+    bucket_expr,
+    bucket_col: str,
+    key: str = "doc_id",
+    op_col: str = "op",
+    payload_cols: list[str] | None = None,
+    delta_keys: DataFrame | None = None,
+) -> DataFrame:
+    """merge_delta variant whose output is bucket-clustered WITHOUT shuffling
+    the current-state side.
+
+    - survivors keep the partitioning of the state scan (per-bucket files →
+      per-bucket tasks): broadcast anti join + a per-row bucket expression,
+      zero shuffle of state bytes;
+    - only the (small) upsert delta is repartitioned on the bucket column.
+
+    At 10^10-event scale this is the difference between shuffling the whole
+    affected table state every epoch and shuffling just the delta.
+    """
+    if payload_cols is None:
+        payload_cols = list(current.columns)
+    if delta_keys is None:
+        delta_keys = deduped_delta.select(key)
+    else:
+        delta_keys = delta_keys.select(key).distinct()
+    survivors = (
+        current.join(F.broadcast(delta_keys), on=key, how="left_anti")
+        .select(*payload_cols)
+        .withColumn(bucket_col, bucket_expr(F.col(key)))
+    )
+    upserts = (
+        deduped_delta.where(F.col(op_col) != OP_DELETE)
+        .select(*[F.col(c) for c in payload_cols])
+        .withColumn(bucket_col, bucket_expr(F.col(key)))
+        .repartition(bucket_col)
+    )
+    return survivors.unionByName(upserts)

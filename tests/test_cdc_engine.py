@@ -46,10 +46,24 @@ def test_single_epoch(spark, tmp_path, data):
 def test_full_replay_all_modes_equal(spark, tmp_path, data):
     log_df = spark.read.parquet(str(data["dir"] / "log.parquet"))
     expected = replay_oracle(data["base"], data["log"])
-    for mode in ("jvm", "grouped", "partition"):
-        t = _fresh_table(spark, tmp_path / mode, data)
-        CDCEngine(spark, t, dedup_mode=mode).replay(log_df)
-        assert_states_equal(_state_pdf(t), expected)
+    for storage in ("mor", "cow"):
+        for mode in ("jvm", "grouped", "partition"):
+            t = _fresh_table(spark, tmp_path / f"{storage}_{mode}", data)
+            CDCEngine(spark, t, storage_mode=storage, dedup_mode=mode).replay(log_df)
+            assert_states_equal(_state_pdf(t), expected)
+
+
+def test_mor_compaction_preserves_state(spark, tmp_path, data):
+    log_df = spark.read.parquet(str(data["dir"] / "log.parquet"))
+    expected = replay_oracle(data["base"], data["log"])
+    t = _fresh_table(spark, tmp_path, data)
+    # force compaction every epoch
+    CDCEngine(spark, t, storage_mode="mor", compact_files_per_bucket=1).replay(log_df)
+    assert_states_equal(_state_pdf(t), expected)
+    # after compaction-heavy replay, explicit full compaction is a no-op-safe op
+    t.compact_buckets(list(range(t.num_buckets)), key_col="doc_id")
+    assert_states_equal(_state_pdf(t), expected)
+    assert all(c == 0 for c in t.delta_file_counts().values())
 
 
 def test_salted_path_equal(spark, tmp_path, data):
