@@ -76,13 +76,15 @@ def _cdc_paths(sf: float) -> dict[str, str]:
 
 
 def run_cdc(
-    spark, sf: float, dedup_mode: str = "jvm", num_buckets: int = 64, repeat: int = 2
+    spark, sf: float, dedup_mode: str = "jvm", num_buckets: int = 64, repeat: int | None = None
 ) -> dict:
     """Full replay `repeat` times (fresh table each); report the best run —
     the sandbox host has noisy external load, so min is the engine's number."""
     from bigquery_etl_fork_spark.engine import CDCEngine
     from bigquery_etl_fork_spark.lake import LakeTable
 
+    if repeat is None:
+        repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     p = _cdc_paths(sf)
     base = spark.read.parquet(p["base"])
     log = spark.read.parquet(p["log"])
@@ -150,33 +152,56 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Run the CDC job at two parallelism levels in separate processes —
-    the in-sandbox evidence for the N→4N executor scaling criterion."""
-    results = {}
-    for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cdc-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)["cdc"]
-    tp8 = results[8]["events_per_sec"]
-    tp32 = results[32]["events_per_sec"]
-    eff = (tp32 / tp8) / 4.0
+    """Run the same CDC replay at two parallelism levels (default local[8]
+    vs local[32]) in separate fresh processes — the in-sandbox evidence for
+    the N→4N executor scaling criterion.
+
+    The sandbox host carries noisy external load (observed 2× swings on
+    identical runs), so each level runs `SPARK_GRAFT_SCALING_REPEATS` times
+    in ALTERNATING order and the per-level minimum is reported.
+    """
+    levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")]
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    runs: dict[int, list[float]] = {lv: [] for lv in levels}
+    details: dict[int, dict] = {}
+    for _ in range(repeats):
+        for cpus in levels:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                SPARK_GRAFT_SF_DIR=SF_DIR,
+                SPARK_GRAFT_BENCH_REPEAT="1",
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cdc-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            cdc = json.loads(line)["cdc"]
+            runs[cpus].append(cdc["seconds"])
+            details[cpus] = cdc
+    lo, hi = levels[0], levels[-1]
+    best = {lv: min(rs) for lv, rs in runs.items()}
+    events = details[hi]["events"]
+    tp = {lv: round(events / best[lv], 1) for lv in levels}
+    eff = (tp[hi] / tp[lo]) / (hi / lo)
     report = {
-        "metric": "scaling_efficiency_8_to_32_cores",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
         "value": round(eff, 3),
-        "throughput_local8": tp8,
-        "throughput_local32": tp32,
+        f"throughput_local{lo}": tp[lo],
+        f"throughput_local{hi}": tp[hi],
+        "all_runs_sec": {str(k): v for k, v in runs.items()},
+        "events": events,
         "sf": _sf(),
-        "detail": results,
+        "workload": {k: details[hi][k] for k in ("dedup_mode", "num_buckets", "n_docs")},
     }
     print(json.dumps(report))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"), "w") as fh:
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"), "w"
+    ) as fh:
         json.dump(report, fh, indent=2)
 
 

@@ -100,7 +100,7 @@ class CDCEngine:
         shuffle_partition_bytes: int = 64 * 1024 * 1024,
         min_shuffle_partitions: int = 8,
         max_shuffle_partitions: int = 4096,
-        compact_files_per_bucket: int = 4,
+        compact_files_per_bucket: int = 8,
     ):
         if storage_mode not in ("mor", "cow"):
             raise ValueError(f"unknown storage_mode {storage_mode!r}")
@@ -207,6 +207,21 @@ class CDCEngine:
             self.spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
             self.spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
+    def _dedup_payload(self, events: DataFrame, target: T.StructType) -> DataFrame:
+        slim = events.select(self.key, self.order, self.op_col, *
+                             [f.name for f in target.fields if f.name != self.key
+                              and f.name in events.columns])
+        use_salt = self.salt == "on" or (
+            self.salt == "auto"
+            and self.dedup_mode in ("grouped", "partition")
+            and is_skewed(slim, self.key, self.hot_threshold, sample_fraction=0.05)
+        )
+        if use_salt:
+            return lww_dedup_salted(
+                slim, self.key, self.order, salt_n=self.salt_n, mode=self.dedup_mode
+            )
+        return lww_dedup(slim, self.key, self.order, mode=self.dedup_mode)
+
     def _apply_epoch_inner(self, epoch: int, events: DataFrame, t0: float) -> EpochStats:
         events_in = events.count() if self.count_input else -1
 
@@ -220,12 +235,100 @@ class CDCEngine:
             self.table.evolve_schema(target)  # idempotent metadata commit
             target = self.table.schema
 
+        props = {WATERMARK_PROP: epoch, "key_col": self.key}
+
+        if self.storage_mode == "mor":
+            return self._apply_mor(epoch, events, target, props, events_in, t0)
+        return self._apply_cow(epoch, events, target, props, events_in, t0)
+
+    def _apply_mor(
+        self,
+        epoch: int,
+        events: DataFrame,
+        target: T.StructType,
+        props: dict,
+        events_in: int,
+        t0: float,
+    ) -> EpochStats:
+        """Merge-on-read epoch: ONE Spark action writes the LWW-deduped delta
+        (payload + lsn + op, op='D' rows as tombstones); affected buckets
+        fall out of the write stats; lineage comes from a column-pruned scan
+        of the freshly written (small, clustered) delta files. O(delta) cost
+        — no state read, no anti join, no state rewrite this epoch."""
+        deduped = self._dedup_payload(events, target)
+        target_plus = T.StructType(
+            list(target.fields)
+            + [
+                T.StructField(self.order, T.LongType()),
+                T.StructField(self.op_col, T.StringType()),
+            ]
+        )
+        aligned = compat_select(deduped, target_plus)
+        staged = self.table.stage_delta(aligned, key_col=self.key)
+        affected = sorted(int(b) for b in staged["stats"])
+
+        if not affected:  # empty epoch: manifest row, no data change
+            self.table.commit_staged_delta(
+                staged, props, [self._lineage_row(epoch, -1, None, None, 0, 0, 0, t0)]
+            )
+            return EpochStats(epoch, events_in, 0, 0, 0, time.time() - t0)
+
+        # lineage from the staged files: reads only (op, lsn) columns plus
+        # the _b partition dir — cheap relative to the raw epoch slice
+        lin = (
+            self.spark.read.parquet(staged["dir"])
+            .groupBy(BUCKET_COL)
+            .agg(
+                F.sum(F.when(F.col(self.op_col) != OP_DELETE, 1).otherwise(0)).alias("ups"),
+                F.sum(F.when(F.col(self.op_col) == OP_DELETE, 1).otherwise(0)).alias("dels"),
+                F.min(self.order).alias("lsn_start"),
+                F.max(self.order).alias("lsn_end"),
+            )
+            .collect()
+        )
+        rows_upserted = sum(int(r["ups"]) for r in lin)
+        rows_deleted = sum(int(r["dels"]) for r in lin)
+        lineage_rows = [
+            self._lineage_row(
+                epoch,
+                int(r[BUCKET_COL]),
+                int(r["lsn_start"]),
+                int(r["lsn_end"]),
+                int(r["ups"]),
+                int(r["dels"]),
+                0,
+                t0,
+            )
+            for r in lin
+        ]
+        self.table.commit_staged_delta(staged, props, lineage_rows)
+        # amortized compaction: fold deltas into base when a bucket's
+        # delta-file count hits the threshold (Iceberg rewrite_data_files /
+        # LSM minor-compaction analog)
+        counts = self.table.delta_file_counts(affected)
+        to_compact = [b for b, c in counts.items() if c >= self.compact_files_per_bucket]
+        if to_compact:
+            self.table.compact_buckets(
+                to_compact, key_col=self.key, order_col=self.order, op_col=self.op_col
+            )
+        return EpochStats(
+            epoch, events_in, rows_upserted, rows_deleted, len(affected), time.time() - t0
+        )
+
+    def _apply_cow(
+        self,
+        epoch: int,
+        events: DataFrame,
+        target: T.StructType,
+        props: dict,
+        events_in: int,
+        t0: float,
+    ) -> EpochStats:
         # ---- probe job: lineage + affected buckets, column-pruned ----
-        # Reads ONLY (key, lsn, op) from the epoch slice — token payloads are
-        # never decoded here (Parquet column pruning), so this job is cheap
-        # even when payloads dominate bytes. LWW winners for the op/lsn
-        # lineage are found with the same max(struct(lsn, op)) reduce the
-        # payload dedup uses, so the two jobs agree deterministically.
+        # Reads ONLY (key, lsn, op) from the epoch slice — token payloads
+        # are never decoded (Parquet column pruning). LWW winners use the
+        # same max(struct(lsn, op)) reduce as the payload dedup, so the two
+        # jobs agree deterministically.
         probe = events.select(self.key, self.order, self.op_col)
         win = lww_dedup(probe, self.key, self.order, mode="jvm")
         lin = (
@@ -248,27 +351,12 @@ class CDCEngine:
                 {},
                 None,
                 None,
-                {WATERMARK_PROP: epoch},
+                props,
                 [self._lineage_row(epoch, -1, None, None, 0, 0, 0, t0)],
             )
             return EpochStats(epoch, events_in, 0, 0, 0, time.time() - t0)
 
-        # ---- write job: dedup(with payload) + merge + write, one action ----
-        slim = events.select(self.key, self.order, self.op_col, *
-                             [f.name for f in target.fields if f.name != self.key
-                              and f.name in events.columns])
-        use_salt = self.salt == "on" or (
-            self.salt == "auto"
-            and self.dedup_mode in ("grouped", "partition")
-            and is_skewed(slim, self.key, self.hot_threshold, sample_fraction=0.05)
-        )
-        if use_salt:
-            deduped = lww_dedup_salted(
-                slim, self.key, self.order, salt_n=self.salt_n, mode=self.dedup_mode
-            )
-        else:
-            deduped = lww_dedup(slim, self.key, self.order, mode=self.dedup_mode)
-
+        deduped = self._dedup_payload(events, target)
         lineage_rows = [
             self._lineage_row(
                 epoch,
@@ -282,73 +370,45 @@ class CDCEngine:
             )
             for r in lin
         ]
-        props = {WATERMARK_PROP: epoch, "key_col": self.key}
-
-        if self.storage_mode == "mor":
-            # merge-on-read fast path: append the LWW-deduped delta (payload
-            # + lsn + op, op='D' rows as tombstones). O(delta) cost — no
-            # state read, no anti join, no state rewrite this epoch.
-            target_plus = T.StructType(
-                list(target.fields)
-                + [
-                    T.StructField(self.order, T.LongType()),
-                    T.StructField(self.op_col, T.StringType()),
-                ]
-            )
-            aligned = compat_select(deduped, target_plus)
-            self.table.append_delta(
-                affected, aligned, key_col=self.key,
-                properties_update=props, lineage=lineage_rows,
-            )
-            # amortized compaction: fold deltas into base when a bucket's
-            # delta-file count hits the threshold (Iceberg
-            # rewrite_data_files / LSM minor-compaction analog)
-            counts = self.table.delta_file_counts(affected)
-            to_compact = [b for b, c in counts.items() if c >= self.compact_files_per_bucket]
-            if to_compact:
-                self.table.compact_buckets(
-                    to_compact, key_col=self.key, order_col=self.order, op_col=self.op_col
-                )
-        else:
-            current = self.table.read(affected, key_col=self.key)
-            state_cols = [f.name for f in target.fields]
-            # coerce payload to target types (null-fill/widen), carrying op
-            target_plus_op = T.StructType(
-                list(target.fields) + [T.StructField(self.op_col, T.StringType())]
-            )
-            aligned = compat_select(deduped, target_plus_op)
-            # survivors anti-join keys come from a column-pruned distinct
-            # over the epoch slice (same key set as the dedup output) so the
-            # payload-dedup subtree is computed exactly once per epoch.
-            delta_keys = events.select(self.key).distinct()
-            nb = self.table.num_buckets
-            merged = merge_delta_clustered(
-                current,
-                aligned,
-                bucket_expr=lambda c: bucket_id(c, nb),
-                bucket_col=BUCKET_COL,
-                key=self.key,
-                op_col=self.op_col,
-                payload_cols=state_cols,
-                delta_keys=delta_keys,
-            )
-            # Shuffle-free write keeps state bytes in place but adds ~1 file
-            # per bucket per epoch (survivor fragments); at the threshold,
-            # fold a compaction into this epoch's write (one clustering
-            # shuffle resets affected buckets to a single file each).
-            frag = max(
-                (len(self.table.snapshot.buckets.get(str(b), [])) for b in affected),
-                default=0,
-            )
-            compact = frag >= self.compact_files_per_bucket
-            self.table.overwrite_buckets(
-                affected,
-                merged,
-                key_col=self.key,
-                properties_update=props,
-                lineage=lineage_rows,
-                pre_clustered=not compact,
-            )
+        current = self.table.read(affected, key_col=self.key)
+        state_cols = [f.name for f in target.fields]
+        # coerce payload to target types (null-fill/widen), carrying op
+        target_plus_op = T.StructType(
+            list(target.fields) + [T.StructField(self.op_col, T.StringType())]
+        )
+        aligned = compat_select(deduped, target_plus_op)
+        # survivors anti-join keys come from a column-pruned distinct
+        # over the epoch slice (same key set as the dedup output) so the
+        # payload-dedup subtree is computed exactly once per epoch.
+        delta_keys = events.select(self.key).distinct()
+        nb = self.table.num_buckets
+        merged = merge_delta_clustered(
+            current,
+            aligned,
+            bucket_expr=lambda c: bucket_id(c, nb),
+            bucket_col=BUCKET_COL,
+            key=self.key,
+            op_col=self.op_col,
+            payload_cols=state_cols,
+            delta_keys=delta_keys,
+        )
+        # Shuffle-free write keeps state bytes in place but adds ~1 file
+        # per bucket per epoch (survivor fragments); at the threshold,
+        # fold a compaction into this epoch's write (one clustering
+        # shuffle resets affected buckets to a single file each).
+        frag = max(
+            (len(self.table.snapshot.buckets.get(str(b), [])) for b in affected),
+            default=0,
+        )
+        compact = frag >= self.compact_files_per_bucket
+        self.table.overwrite_buckets(
+            affected,
+            merged,
+            key_col=self.key,
+            properties_update=props,
+            lineage=lineage_rows,
+            pre_clustered=not compact,
+        )
         return EpochStats(
             epoch, events_in, rows_upserted, rows_deleted, len(affected), time.time() - t0
         )

@@ -1,0 +1,98 @@
+"""Keyed hard-delete across the lake table — the shredder analog.
+
+Re-expresses the reference's GDPR delete engine
+(``bigquery_etl/shredder/delete.py``): targeted deletes of all rows for a
+set of keys, executed as per-partition anti-join rewrites
+(``delete.py:377-427``), resumable, with task accounting
+(``delete.py:810-827``).
+
+Spark-first shape: the key set prunes to affected buckets (driver-side hash,
+the ``sample_id`` split analog), each bucket group is rewritten as
+``resolved_state LEFT ANTI JOIN keys`` and atomically committed. This is a
+HARD delete: MoR tombstones would hide rows but leave bytes on disk, so the
+shredder always rewrites files (GDPR requires physical removal) and
+``vacuum()`` then drops the superseded files.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake import LakeTable, bucket_id
+
+
+@dataclass
+class ShredResult:
+    rows_deleted: int
+    buckets_rewritten: int
+    files_vacuumed: int
+    seconds: float
+
+
+def shred_keys(
+    spark: SparkSession,
+    table: LakeTable,
+    keys: DataFrame | list,
+    key_col: str = "doc_id",
+    order_col: str = "lsn",
+    op_col: str = "op",
+    vacuum: bool = True,
+    max_buckets_per_task: int = 16,
+) -> ShredResult:
+    """Physically remove every row whose key is in ``keys``.
+
+    Buckets are rewritten in groups of ``max_buckets_per_task`` — the analog
+    of the reference's per-partition task splitting that bounds single-job
+    size (``--max-single-dml-bytes``, ``delete.py:103-111``). Each group
+    commit is atomic and idempotent, so a crashed shred can simply be re-run.
+    """
+    t0 = time.time()
+    if isinstance(keys, list):
+        keys = spark.createDataFrame(
+            [(k,) for k in keys], f"{key_col} {'string' if isinstance(keys[0], str) else 'long'}"
+        )
+    keys = keys.select(key_col).distinct()
+
+    nb = table.num_buckets
+    affected = sorted(
+        int(r["b"])
+        for r in keys.select(bucket_id(F.col(key_col), nb).alias("b")).distinct().collect()
+    )
+    rows_before = 0
+    rows_after = 0
+    buckets_rewritten = 0
+    for i in range(0, len(affected), max_buckets_per_task):
+        group = affected[i : i + max_buckets_per_task]
+        current = table.read(group, key_col=key_col, order_col=order_col, op_col=op_col)
+        survivors = current.join(F.broadcast(keys), on=key_col, how="left_anti")
+        before = current.count()
+        snap = table.overwrite_buckets(
+            group,
+            survivors,
+            key_col=key_col,
+            lineage=[
+                {
+                    "op": "shred",
+                    "partition_id": b,
+                    "committed_at": time.time(),
+                }
+                for b in group
+            ],
+        )
+        after = sum(
+            f["rows"] for b in group for f in snap.buckets.get(str(b), [])
+        )
+        rows_before += before
+        rows_after += after
+        buckets_rewritten += len(group)
+    removed = table.vacuum() if vacuum else 0
+    return ShredResult(
+        rows_deleted=rows_before - rows_after,
+        buckets_rewritten=buckets_rewritten,
+        files_vacuumed=removed,
+        seconds=round(time.time() - t0, 3),
+    )

@@ -419,24 +419,33 @@ class LakeTable:
             lineage=lineage,
         )
 
-    def append_delta(
+    def stage_delta(self, df: DataFrame, key_col: str) -> dict[str, Any]:
+        """Phase 1 of a merge-on-read commit: write LWW-resolvable delta
+        files (payload + order + op columns, op='D' rows are tombstones),
+        WITHOUT committing. Returns a staged handle whose ``stats`` reveal
+        the affected buckets — so the caller can derive lineage by scanning
+        only the freshly written (small, clustered) files instead of paying
+        a separate pre-write probe job over the raw epoch. Uncommitted
+        stages are invisible to readers and removed by ``vacuum()``."""
+        aux_schema = T.StructType([f for f in df.schema.fields if f.name != BUCKET_COL])
+        commit_id, stats = self._write_data(df, key_col)
+        return {
+            "stats": stats,
+            "aux_schema": aux_schema,
+            "commit_id": commit_id,
+            "dir": os.path.join(self.root, _DATA_DIR, commit_id),
+        }
+
+    def commit_staged_delta(
         self,
-        buckets: list[int],
-        df: DataFrame,
-        key_col: str,
+        staged: dict[str, Any],
         properties_update: dict[str, Any] | None = None,
         lineage: list[dict[str, Any]] | None = None,
     ) -> Snapshot:
-        """Merge-on-read commit: append LWW-resolvable delta files (payload +
-        order + op columns, op='D' rows are tombstones) for the given
-        buckets. O(delta) write cost — no state read, no state rewrite. The
-        LSM-style fast path for CDC ingest; ``compact_buckets`` folds deltas
-        back into base files."""
-        aux_schema = T.StructType([f for f in df.schema.fields if f.name != BUCKET_COL])
-        _, stats = self._write_data(df, key_col)
-        stray = set(stats.keys()) - {str(b) for b in buckets}
-        if stray:
-            raise ValueError(f"delta rows written outside declared buckets: {sorted(stray)}")
+        """Phase 2: atomically publish a staged delta (O(delta) cost — no
+        state read, no state rewrite; the LSM-style fast path for CDC
+        ingest). ``compact_buckets`` later folds deltas into base files."""
+        stats = staged["stats"]
         for row in lineage or []:
             files = stats.get(str(row.get("partition_id")), [])
             row["bytes_written"] = sum(f["bytes"] for f in files)
@@ -448,8 +457,23 @@ class LakeTable:
             properties_update=properties_update,
             lineage=lineage,
             new_kind="delta",
-            aux_schema=aux_schema,
+            aux_schema=staged["aux_schema"],
         )
+
+    def append_delta(
+        self,
+        buckets: list[int],
+        df: DataFrame,
+        key_col: str,
+        properties_update: dict[str, Any] | None = None,
+        lineage: list[dict[str, Any]] | None = None,
+    ) -> Snapshot:
+        """One-shot merge-on-read commit (stage + publish)."""
+        staged = self.stage_delta(df, key_col)
+        stray = set(staged["stats"].keys()) - {str(b) for b in buckets}
+        if stray:
+            raise ValueError(f"delta rows written outside declared buckets: {sorted(stray)}")
+        return self.commit_staged_delta(staged, properties_update, lineage)
 
     def delta_file_counts(self, buckets: list[int] | None = None) -> dict[int, int]:
         snap = self._snapshot

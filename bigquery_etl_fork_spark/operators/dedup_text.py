@@ -1,0 +1,231 @@
+"""Near-duplicate detection for document corpora — training-data pipeline ops.
+
+Four families, all expressed as DataFrame plans (no Python UDFs in the hot
+path; hashing via built-in ``md5``/``xxhash64``, JVM-side):
+
+- exact dedup        — content-hash groupBy (see ``queries.q_exact_dedup_docs``)
+- MinHash + LSH      — shingle → K minhashes → B bands → bucket self-join.
+  Hash values are hex-string prefixes of md5 so an independent SQL engine
+  (DuckDB oracle) reproduces them bit-for-bit; min() over fixed-width hex
+  strings is order-isomorphic to min() over the underlying integers.
+- SimHash            — 64-bit signature from per-token hash bit votes;
+  near-dups = signatures within a Hamming radius (banded for scale).
+- n-gram Jaccard     — exact set overlap on word shingles via shingle join.
+
+Scale shape: everything is explode → hash → groupBy (map-side combined) →
+equi-join on band/bucket keys; no cross joins. At 100 TB the band join is
+the standard LSH trick that keeps candidate generation near-linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE_N = 3
+
+
+def words_col(text_col: str = "text"):
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_expr(text_col: str = "text", n: int = DEFAULT_SHINGLE_N):
+    """Word n-gram shingles; a doc shorter than n words is its own shingle
+    (mirrored exactly in the DuckDB oracle SQL)."""
+    w = words_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(F.array(F.col(text_col)))
+
+
+def shingled(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3):
+    """(id, shingle) exploded + de-duplicated per doc."""
+    return (
+        df.select(id_col, F.explode(shingles_expr(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """One row per doc with columns h0..h{K-1}: the K minhash values
+    (16-hex-char md5 prefixes, min'd as strings)."""
+    sh = shingled(df, id_col, text_col, n)
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle"))), 1, 16)
+        ).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH + their estimated Jaccard
+    (fraction of matching minhash components). Deterministic, oracle-checked."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+
+    band_keys = []
+    for b in range(bands):
+        cols = [F.col(f"h{k}") for k in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_keys.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    banded = sigs.select(
+        id_col, *[F.col(f"h{k}") for k in range(num_hashes)],
+        F.explode(F.array(*band_keys)).alias("bk"),
+    ).select(id_col, *[f"h{k}" for k in range(num_hashes)], "bk.band", "bk.key")
+
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            *[
+                (F.col(f"a.h{k}") == F.col(f"b.h{k}")).cast("int").alias(f"m{k}")
+                for k in range(num_hashes)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"m{k}") for k in range(num_hashes)) / F.lit(float(num_hashes))
+    return pairs.select(
+        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle."""
+    sh = shingled(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold)
+
+
+def _hex_char_val(ch):
+    return F.when(ch.isNotNull(), F.instr(F.lit("0123456789abcdef"), ch) - 1)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc: per-word md5 → long; each bit votes ±1."""
+    w = df.select(id_col, F.explode(words_col(text_col)).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")  # 60 bits
+    nbits = min(bits, 60)
+    votes = [
+        F.sum(
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{j}")
+        for j in range(nbits)
+    ]
+    per_doc = w.withColumn("_h", h).groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(nbits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long")
+        sig = term if sig is None else sig + term
+    return per_doc.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    band_bits: int = 15,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 60-bit signature into 4×15-bit
+    chunks (pigeonhole: any pair within Hamming ≤ 3×bands/4 shares a band),
+    join on band equality, exact Hamming filter."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    bands = 60 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamm = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamm.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``       — brute-force exact top-k vs a query vector (the
+  baseline; see ``queries.q_cosine_topk`` which is oracle-checked).
+- ``cosine_all_pairs``  — exact pairwise sims above a threshold (small N).
+- ``lsh_candidate_pairs`` — random-hyperplane (sign) LSH: H deterministic
+  pseudo-random planes (seeded from xxhash64, JVM-side), signature = H sign
+  bits, banded equality join for candidates, exact re-score. The scale path:
+  candidate generation is linear in rows × bands instead of quadratic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _planes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Bit array: sign of <v, plane_p> for each plane."""
+    bits = []
+    for p in planes:
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(vec_col, pc) >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.array(*bits)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup embedding pairs: LSH band join → exact cosine filter."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _planes(dim, num_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    sig = df.select(
+        id_col,
+        F.col(vec_col),
+        lsh_signature(v, planes).alias("sig"),
+    )
+    rpb = num_planes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.array_join(
+                F.transform(F.slice("sig", b * rpb + 1, rpb), lambda x: x.cast("string")), ""
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, vec_col, F.explode(F.array(*band_structs)).alias("bk")).select(
+        id_col, vec_col, "bk.band", "bk.key"
+    )
+    a, b2 = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .distinct()
+    )
+    sim = cosine_sim(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+    return (
+        cand.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_all_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact quadratic baseline (ground truth for LSH recall tests)."""
+    a, b = df.alias("a"), df.alias("b")
+    sim = cosine_sim(
+        F.col(f"a.{vec_col}").cast("array<double>"), F.col(f"b.{vec_col}").cast("array<double>")
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -446,6 +446,265 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# Near-dup detection (training-data pipeline ops): MinHash+LSH and n-gram
+# Jaccard, both with exact DuckDB oracles (md5-hex string hashing shared by
+# both engines). SimHash and embedding-LSH are rows-only (see tests).
+# --------------------------------------------------------------------------
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from .operators.dedup_text import minhash_lsh_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=16, bands=4)
+
+
+def _sql_shingles(n=3):
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(1, n + 1))
+    return f"""
+sh0 AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= {n}
+                THEN [{gram} for i in range(len(w) - {n - 1})]
+                ELSE [text] END) AS shingle
+  FROM sh0))"""
+
+
+SQL_MINHASH_LSH = (
+    "WITH "
+    + _sql_shingles(3)
+    + ",\nsig AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(substring(md5('{k}:' || shingle), 1, 16)) AS h{k}" for k in range(16)
+    )
+    + " FROM sh GROUP BY doc_id),\nbanded AS ("
+    + "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"h{k}" for k in range(b * 4, b * 4 + 4))
+        + ")) AS key, * FROM sig"
+        for b in range(4)
+    )
+    + """)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(("""
+    + " + ".join(f"CAST(a.h{k} = b.h{k} AS INT)" for k in range(16))
+    + """) / 16.0, 4) AS est_jaccard
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from .operators.dedup_text import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1)
+
+
+SQL_NGRAM_JACCARD = (
+    "WITH "
+    + _sql_shingles(3)
+    + """,
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(i / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.1
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# Text analysis: language ID + quality + fingerprint (oracle-checked)
+# --------------------------------------------------------------------------
+
+
+def q_lang_quality(spark, sf_dir):
+    from .operators.text import doc_fingerprint, lang_id, quality_score
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        lang_id("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+        doc_fingerprint("text", 3).alias("fingerprint"),
+    )
+
+
+def _sql_lang_quality():
+    from .operators.text import STOPWORDS
+
+    scores = []
+    for lang, sw in sorted(STOPWORDS.items()):
+        lst = ", ".join(f"'{s}'" for s in sw)
+        scores.append(f"len(list_filter(w, x -> x IN ({lst}))) AS s_{lang}")
+    sw_all = sorted({s for v in STOPWORDS.values() for s in v})
+    all_lst = ", ".join(f"'{s}'" for s in sw_all)
+    langs = sorted(STOPWORDS.keys())
+    struct_arr = ", ".join(f"{{'score': s_{lang}, 'lang': '{lang}'}}" for lang in langs)
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(1, 4))
+    return f"""
+WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+scored AS (SELECT doc_id, text, w, len(w) AS n_words, {", ".join(scores)},
+           len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha,
+           len(list_filter(w, x -> x IN ({all_lst}))) AS n_stop
+           FROM base)
+SELECT doc_id,
+       list_max([{struct_arr}]).lang AS lang_guess,
+       round((n_alpha / CAST(n_words AS DOUBLE)
+              + least(n_stop * 4.0 / n_words, 1.0)
+              + least(n_words / 64.0, 1.0)) / 3, 4) AS quality,
+       (SELECT min(md5(s)) FROM unnest(
+          CASE WHEN len(w) >= 3
+               THEN [{gram} for i in range(len(w) - 2)]
+               ELSE [text] END) t(s)) AS fingerprint
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 RIGHT OUTER + §2.4 pivot / rollup + lateral unnest + SAFE ops
+# --------------------------------------------------------------------------
+
+
+def q_right_outer(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey, "right")
+    return j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+    )
+
+
+SQL_RIGHT_OUTER = """
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_pivot_event_values(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 2))
+    )
+    cols = [F.coalesce(F.col(t), F.lit(0.0)).alias(f"v_{t}") for t in types]
+    return p.select("user_id", *cols)
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       round(coalesce(sum(CASE WHEN event_type='click' THEN value END), 0), 2) AS v_click,
+       round(coalesce(sum(CASE WHEN event_type='error' THEN value END), 0), 2) AS v_error,
+       round(coalesce(sum(CASE WHEN event_type='purchase' THEN value END), 0), 2) AS v_purchase,
+       round(coalesce(sum(CASE WHEN event_type='signup' THEN value END), 0), 2) AS v_signup,
+       round(coalesce(sum(CASE WHEN event_type='view' THEN value END), 0), 2) AS v_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_rollup_pricing(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_lateral_unnest(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    head = F.slice(w, 1, 3)
+    return d.select("doc_id", F.posexplode(head).alias("pos", "word"))
+
+
+SQL_LATERAL_UNNEST = """
+SELECT doc_id,
+       unnest([i - 1 for i in range(1, least(3, len(w)) + 1)]) AS pos,
+       unnest(w[1:least(3, len(w))]) AS word
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+def q_safe_ops(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        F.col("event_type").try_cast("long").alias("bad_cast"),
+        F.round(F.try_divide(F.col("value"), k % 7), 4).alias("safe_div"),
+        F.substring(F.col("event_type"), 1, 1).try_cast("long").alias("bad_cast2"),
+    )
+
+
+SQL_SAFE_OPS = """
+SELECT event_id,
+       TRY_CAST(event_type AS BIGINT) AS bad_cast,
+       round(value / nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0), 4)
+         AS safe_div,
+       TRY_CAST(substring(event_type, 1, 1) AS BIGINT) AS bad_cast2
+FROM events
+"""
+
+
+def q_date_sequence(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    d0 = F.to_date("o_orderdate")
+    seq = F.sequence(d0, F.date_add(d0, 3))
+    return o.select("o_orderkey", F.explode(seq).alias("_d")).select(
+        "o_orderkey", F.date_format("_d", "yyyy-MM-dd").alias("d")
+    )
+
+
+SQL_DATE_SEQUENCE = """
+SELECT o_orderkey,
+       strftime(unnest(generate_series(CAST(o_orderdate AS DATE),
+                                       CAST(o_orderdate AS DATE) + 3,
+                                       INTERVAL 1 DAY)), '%Y-%m-%d') AS d
+FROM orders WHERE o_orderkey < 100
+"""
+
+
+def q_map_sum(spark, sf_dir):
+    """mozfun map.sum analog: build ARRAY<STRUCT<key,value>> per user, merge
+    by key (reference sql/mozfun/map/sum/udf.sql:10-12), then flatten."""
+    ev = load(spark, sf_dir, "events")
+    entries = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct(F.col("event_type").alias("key"), F.col("value").alias("value"))).alias("m")
+    )
+    exploded = entries.select("user_id", F.explode("m").alias("e"))
+    return (
+        exploded.groupBy("user_id", F.col("e.key").alias("key"))
+        .agg(F.round(F.sum("e.value"), 2).alias("total"))
+    )
+
+
+SQL_MAP_SUM = """
+SELECT user_id, event_type AS key, round(sum(value), 2) AS total
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # FLAGSHIP: full CDC replay through the engine, with a pure-SQL LWW oracle.
 # Change log derived deterministically from `events`; base from `documents`.
 # --------------------------------------------------------------------------
@@ -556,6 +815,16 @@ QUERIES = {
     "text_stats": q_text_stats,
     "exact_dedup_docs": q_exact_dedup_docs,
     "cosine_topk": q_cosine_topk,
+    "minhash_lsh": q_minhash_lsh,
+    "ngram_jaccard": q_ngram_jaccard,
+    "lang_quality": q_lang_quality,
+    "right_outer": q_right_outer,
+    "pivot_event_values": q_pivot_event_values,
+    "rollup_pricing": q_rollup_pricing,
+    "lateral_unnest": q_lateral_unnest,
+    "safe_ops": q_safe_ops,
+    "date_sequence": q_date_sequence,
+    "map_sum": q_map_sum,
     "cdc_replay": q_cdc_replay,
 }
 
@@ -576,5 +845,15 @@ ORACLES = {
     "text_stats": SQL_TEXT_STATS,
     "exact_dedup_docs": SQL_EXACT_DEDUP,
     "cosine_topk": SQL_COSINE_TOPK,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "lang_quality": _sql_lang_quality(),
+    "right_outer": SQL_RIGHT_OUTER,
+    "pivot_event_values": SQL_PIVOT,
+    "rollup_pricing": SQL_ROLLUP,
+    "lateral_unnest": SQL_LATERAL_UNNEST,
+    "safe_ops": SQL_SAFE_OPS,
+    "date_sequence": SQL_DATE_SEQUENCE,
+    "map_sum": SQL_MAP_SUM,
     "cdc_replay": SQL_CDC_REPLAY,
 }

@@ -1,0 +1,164 @@
+"""Operators without SQL oracles: shredder, checks, simhash, embedding LSH."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigquery_etl_fork_spark.engine import checks as C
+from bigquery_etl_fork_spark.engine.shredder import shred_keys
+from bigquery_etl_fork_spark.lake import LakeTable
+from bigquery_etl_fork_spark.operators.dedup_text import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from bigquery_etl_fork_spark.operators.similarity import (
+    cosine_all_pairs,
+    lsh_candidate_pairs,
+)
+from bigquery_etl_fork_spark import functions as UF
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------- shredder ----------------
+
+
+def test_shred_keys_hard_delete(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(f"doc-{i:03d}", i) for i in range(100)], "doc_id string, n int"
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema, num_buckets=8)
+    t.overwrite_all(df, key_col="doc_id")
+    victims = [f"doc-{i:03d}" for i in range(0, 100, 10)] + ["doc-zzz"]  # one absent
+    res = shred_keys(spark, t, victims, key_col="doc_id", max_buckets_per_task=3)
+    assert res.rows_deleted == 10
+    left = {r.doc_id for r in t.read().collect()}
+    assert left.isdisjoint(set(victims))
+    assert len(left) == 90
+    # physical removal: no live or orphan file contains a victim key
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for fp in glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True):
+        vals = set(pq.read_table(fp, columns=["doc_id"])["doc_id"].to_pylist())
+        assert vals.isdisjoint(set(victims)), fp
+
+
+def test_shred_is_idempotent(spark, tmp_path):
+    df = spark.createDataFrame([(f"d{i}", i) for i in range(20)], "doc_id string, n int")
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema, num_buckets=4)
+    t.overwrite_all(df, key_col="doc_id")
+    shred_keys(spark, t, ["d1", "d2"], key_col="doc_id")
+    res2 = shred_keys(spark, t, ["d1", "d2"], key_col="doc_id")
+    assert res2.rows_deleted == 0
+    assert t.read().count() == 18
+
+
+# ---------------- checks ----------------
+
+
+def test_checks_pass_and_fail(spark):
+    df = spark.createDataFrame(
+        [("a", 1, [1, 2]), ("b", 2, [3]), ("c", None, [])],
+        "doc_id string, n int, tokens array<int>",
+    )
+    rep = C.run_checks(
+        df,
+        [
+            C.is_unique(["doc_id"]),
+            C.min_row_count(2),
+            C.in_range("n", 0, 10),
+            C.accepted_values("doc_id", ["a", "b", "c"]),
+            C.not_null(["n"], severity=C.WARN),
+        ],
+    )
+    assert not rep.failed
+    assert rep.warned and rep.warned[0]["violations"] == 1
+
+    with pytest.raises(C.CheckFailure):
+        C.run_checks(df.union(df), [C.is_unique(["doc_id"])])
+
+
+def test_check_array_len_invariant(spark):
+    df = spark.createDataFrame(
+        [("a", [1, 2], 2), ("b", [1], 5)], "doc_id string, tokens array<int>, n_tok int"
+    )
+    rep = C.run_checks(df, [C.array_len_equals("tokens", "n_tok")], raise_on_fail=False)
+    assert rep.results[0]["violations"] == 1
+
+
+# ---------------- simhash ----------------
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different sentence about spark engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    pairs = simhash_near_pairs(df, max_hamming=3).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+
+
+def test_minhash_detects_near_duplicate(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("delta", "delta2", 1)
+    df = spark.createDataFrame(
+        [(1, base.strip()), (2, near.strip()), (3, "totally unrelated words here only")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(df, threshold=0.05).collect()}
+    assert (1, 2) in j and j[(1, 2)] > 0.3
+
+
+# ---------------- embedding LSH recall ----------------
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_all_pairs(emb, threshold=0.75).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            emb, num_planes=16, bands=8, threshold=0.75
+        ).collect()
+    }
+    assert got <= exact or not exact  # no false positives after re-score
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.6, f"LSH recall too low: {recall} ({len(got)}/{len(exact)})"
+
+
+# ---------------- bits28 function library ----------------
+
+
+def test_bits28_fold_and_days_since_seen(spark):
+    df = spark.createDataFrame([(0b1, 0b1), (0b0, None), (0b100, 0b1)], "prev long, curr int")
+    out = df.select(
+        UF.combine_adjacent_days_28_bits(F.col("prev"), F.col("curr")).alias("bits")
+    ).collect()
+    assert [r.bits for r in out] == [0b11, 0b0, 0b1001]
+    ds = spark.createDataFrame([(12,), (1,), (0,)], "bits long").select(
+        UF.days_since_seen(F.col("bits")).alias("d")
+    )
+    assert [r.d for r in ds.collect()] == [2, 0, None]
+
+
+def test_mode_last_expression(spark):
+    df = spark.createDataFrame([(["a", "b", "b", "a"],), (["x", "y", "y"],)], "vals array<string>")
+    out = [r.m for r in df.select(UF.mode_last(F.col("vals")).alias("m")).collect()]
+    # ties (a:2, b:2) -> latest occurrence wins: 'a' at idx 3 beats 'b' at 2
+    assert out == ["a", "y"]
