@@ -41,12 +41,11 @@ def _sf() -> float:
         return 0.1
 
 
-def _cdc_paths(sf: float) -> dict[str, str]:
+def _cdc_paths(sf: float, n_epochs: int = 8) -> dict[str, str]:
     """Generate (once, cached by params) the deterministic CDC workload:
     base table + change log sized proportionally to sf."""
     n_docs = max(2000, int(200_000 * sf))
     n_events = max(50_000, int(20_000_000 * sf))
-    n_epochs = 8
     # fixture-faithful token payloads (FIXTURES.md: length 1-2048); avg ~528
     min_len, max_len = 32, 1024
     cache = os.path.join(
@@ -76,16 +75,25 @@ def _cdc_paths(sf: float) -> dict[str, str]:
 
 
 def run_cdc(
-    spark, sf: float, dedup_mode: str = "jvm", num_buckets: int = 64, repeat: int | None = None
+    spark,
+    sf: float,
+    dedup_mode: str = "jvm",
+    num_buckets: int = 64,
+    repeat: int | None = None,
+    n_epochs: int = 8,
 ) -> dict:
     """Full replay `repeat` times (fresh table each); report the best run —
-    the sandbox host has noisy external load, so min is the engine's number."""
+    the sandbox host has noisy external load, so min is the engine's number.
+
+    n_epochs=8 is the steady-drip shape (per-epoch commit latency included
+    8×); n_epochs=1 is the bulk catch-up shape (throughput-bound — the
+    regime a 10^10-event log replay actually runs in)."""
     from bigquery_etl_fork_spark.engine import CDCEngine
     from bigquery_etl_fork_spark.lake import LakeTable
 
     if repeat is None:
         repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
-    p = _cdc_paths(sf)
+    p = _cdc_paths(sf, n_epochs=n_epochs)
     base = spark.read.parquet(p["base"])
     log = spark.read.parquet(p["log"])
     total_events = log.count()  # includes duplicate deliveries
@@ -109,6 +117,7 @@ def run_cdc(
         "all_runs_sec": [round(r, 3) for r in runs],
         "dedup_mode": dedup_mode,
         "num_buckets": num_buckets,
+        "n_epochs": n_epochs,
         "n_docs": p["n_docs"],
         "final_rows": final_rows,
     }
@@ -125,10 +134,12 @@ def main() -> None:
     # warm up JVM/codegen so timings measure the engine, not startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    cdc = run_cdc(spark, sf, dedup_mode=dedup_mode)
+    n_epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "8"))
+    cdc = run_cdc(spark, sf, dedup_mode=dedup_mode, n_epochs=n_epochs)
     if cdc_only:
         print(json.dumps({"cdc": cdc, "cpus": CPUS, "sf": sf}))
         return
+    bulk = run_cdc(spark, sf, dedup_mode=dedup_mode, n_epochs=1, repeat=1)
 
     qsecs: dict[str, float] = {"cdc_replay": cdc["seconds"]}
     for name, fn in QUERIES.items():
@@ -147,6 +158,7 @@ def main() -> None:
         "sf": sf,
         "cpus": CPUS,
         "cdc": cdc,
+        "cdc_bulk_catchup": bulk,
     }
     print(json.dumps(out))
 

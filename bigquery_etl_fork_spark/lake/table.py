@@ -193,12 +193,20 @@ class LakeTable:
             if f.get("kind", "base") == kind
         ]
 
+    def snapshot_at(self, version: int) -> Snapshot:
+        """Load a historical snapshot (time travel; files must not have been
+        vacuumed since)."""
+        fp = os.path.join(self.root, _SNAP_DIR, f"snap-{version:010d}.json")
+        with open(fp) as fh:
+            return Snapshot.from_json(fh.read())
+
     def read(
         self,
         buckets: list[int] | None = None,
         key_col: str | None = None,
         order_col: str = "lsn",
         op_col: str = "op",
+        at_version: int | None = None,
     ) -> DataFrame:
         """Current table state, pruned to ``buckets``.
 
@@ -207,7 +215,15 @@ class LakeTable:
         max-LSN row per key wins; tombstones (op = 'D') are dropped. Without
         deltas this is a plain pruned scan (no shuffle). ``key_col`` is
         required only when deltas exist (the engine always passes it).
+        ``at_version`` reads a historical snapshot (time travel).
         """
+        if at_version is not None and at_version != self._snapshot.version:
+            prev = self._snapshot
+            self._snapshot = self.snapshot_at(at_version)
+            try:
+                return self.read(buckets, key_col, order_col, op_col)
+            finally:
+                self._snapshot = prev
         snap = self._snapshot
         target = snap.schema
         base = self._read_files(self._entries(buckets, "base"), target)
@@ -502,6 +518,61 @@ class LakeTable:
         ``deploy.py:124-153`` in-place schema update)."""
         merged = merge_schemas(self.schema, new_schema)
         return self._commit({}, None, merged, None, None)
+
+    # ---------------- clone / promote (backfill support) ----------------
+
+    def _absolutized_buckets(self, snap: Snapshot) -> dict[str, list[dict[str, Any]]]:
+        return {
+            b: [{**f, "path": os.path.join(self.root, f["path"])} for f in files]
+            for b, files in snap.buckets.items()
+        }
+
+    def clone_at(self, new_root: str, version: int | None = None) -> "LakeTable":
+        """Zero-copy clone: a new table whose snapshot 0 references THIS
+        table's data files (absolute paths) as of ``version``. The backfill
+        staging primitive (reference ``backfills_staging_derived`` tables,
+        ``bigquery_etl/cli/backfill.py:521-757``). Do not ``vacuum()`` the
+        source while a clone is alive."""
+        src = self.snapshot_at(version) if version is not None else self._snapshot
+        os.makedirs(os.path.join(new_root, _SNAP_DIR), exist_ok=True)
+        os.makedirs(os.path.join(new_root, _DATA_DIR), exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            schema_id=src.schema_id,
+            schemas=dict(src.schemas),
+            num_buckets=src.num_buckets,
+            buckets=self._absolutized_buckets(src),
+            properties=dict(src.properties),
+            committed_at=time.time(),
+        )
+        self._write_snapshot(new_root, snap)
+        return LakeTable(self.spark, new_root)
+
+    def promote_from(self, staging: "LakeTable") -> Snapshot:
+        """Atomically adopt a staging table's current state (zero-copy: the
+        new snapshot references the staging files). Analog of the
+        reference's copy-backfill-staging-to-prod step
+        (``cli/backfill.py:894-987``), as one snapshot swap instead of a
+        partition-by-partition copy. Keep the staging directory alive until
+        the next compaction rewrites its files into this table's data dir."""
+        src = staging.snapshot
+        if src.num_buckets != self.num_buckets:
+            raise ValueError("bucket count mismatch between staging and prod")
+        prev = self._snapshot
+        snap = Snapshot(
+            version=prev.version + 1,
+            schema_id=src.schema_id,
+            schemas=dict(src.schemas),
+            num_buckets=src.num_buckets,
+            buckets=staging._absolutized_buckets(src),
+            properties={**prev.properties, **src.properties},
+            lineage=[{"op": "promote", "from": staging.root, "committed_at": time.time()}],
+            parent_version=prev.version,
+            committed_at=time.time(),
+        )
+        self._write_snapshot(self.root, snap)
+        self._snapshot = snap
+        return snap
 
     # ---------------- maintenance / introspection ----------------
 

@@ -704,6 +704,67 @@ FROM events GROUP BY user_id, event_type
 """
 
 
+def q_theta_join_unnest(spark, sf_dir):
+    """Theta-join on UNNESTed values (reference shredder delete.py:290-295:
+    JOIN UNNEST(extra) ON value = key): explode doc words, join a small
+    keyword dim, count hits per keyword."""
+    d = load(spark, sf_dir, "documents")
+    kw = spark.createDataFrame(
+        [("spark",), ("merge",), ("window",), ("vector",)], "kw string"
+    )
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        w.join(F.broadcast(kw), w.word == kw.kw)
+        .groupBy("kw")
+        .agg(F.count("*").alias("hits"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+SQL_THETA_UNNEST = """
+WITH kw(kw) AS (VALUES ('spark'), ('merge'), ('window'), ('vector')),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT kw, count(*) AS hits, count(DISTINCT doc_id) AS n_docs
+FROM w JOIN kw ON word = kw GROUP BY kw
+"""
+
+
+def q_union_by_name(spark, sf_dir):
+    """Cross-source fan-in with differing columns
+    (unionByName(allowMissingColumns) — reference UNION ALL of N app tables,
+    event_monitoring_live_v1.materialized_view.sql:46-54)."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.round("value", 2).alias("amount")
+    )
+    b = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.get_json_object("props", "$.k").cast("long").alias("err_code")
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.select("event_id", "user_id", "amount", "err_code")
+
+
+SQL_UNION_BY_NAME = """
+SELECT event_id, user_id, round(value, 2) AS amount, NULL::BIGINT AS err_code
+FROM events WHERE event_type = 'purchase'
+UNION ALL BY NAME
+SELECT event_id, user_id, NULL::DOUBLE AS amount,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS err_code
+FROM events WHERE event_type = 'error'
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL_COUNT analog — approximate, so the 'oracle' here is the EXACT
+    distinct count and the query also returns it; the pytest bound (not the
+    hash compare) validates the approx column. Kept rows-only for the
+    driver (no oracle entry)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 # --------------------------------------------------------------------------
 # FLAGSHIP: full CDC replay through the engine, with a pure-SQL LWW oracle.
 # Change log derived deterministically from `events`; base from `documents`.
@@ -825,6 +886,9 @@ QUERIES = {
     "safe_ops": q_safe_ops,
     "date_sequence": q_date_sequence,
     "map_sum": q_map_sum,
+    "theta_join_unnest": q_theta_join_unnest,
+    "union_by_name": q_union_by_name,
+    "approx_distinct": q_approx_distinct,  # rows-only (approximate op)
     "cdc_replay": q_cdc_replay,
 }
 
@@ -855,5 +919,9 @@ ORACLES = {
     "safe_ops": SQL_SAFE_OPS,
     "date_sequence": SQL_DATE_SEQUENCE,
     "map_sum": SQL_MAP_SUM,
+    "theta_join_unnest": SQL_THETA_UNNEST,
+    "union_by_name": SQL_UNION_BY_NAME,
+    # approx_distinct intentionally has no oracle (approximate result);
+    # its exact bound is asserted in tests/test_queries_oracle.py
     "cdc_replay": SQL_CDC_REPLAY,
 }

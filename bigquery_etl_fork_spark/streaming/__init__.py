@@ -1,0 +1,3 @@
+from .micro_batch import discover_epochs, stream_changelog, tail_changelog
+
+__all__ = ["discover_epochs", "stream_changelog", "tail_changelog"]

@@ -1,0 +1,78 @@
+"""Physical-plan guards: pushdown, pruning, codegen — the scale checks."""
+
+import pyspark.sql.functions as F
+
+from bigquery_etl_fork_spark.lake import LakeTable, bucket_id
+from bigquery_etl_fork_spark.plans import (  # noqa
+    assert_filter_pushed,
+    explain_string,
+    pushed_filters,
+    scan_file_count,
+    wholestage_codegen_ids,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    assert_filter_pushed(q, "l_orderkey")
+    # column pruning: ReadSchema carries only the two selected columns
+    plan = explain_string(q)
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_quantity" in rs and "l_extendedprice" not in rs
+
+
+def test_lake_bucket_pruned_scan_reads_fewer_files(spark, tmp_path):
+    df = spark.createDataFrame([(f"d{i}", i) for i in range(200)], "doc_id string, n int")
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema, num_buckets=8)
+    t.overwrite_all(df, key_col="doc_id")
+    all_files = scan_file_count(t.read())
+    one = scan_file_count(t.read([3]))
+    assert one < all_files
+
+    # engine-style read for the bucket of a single key touches 1 bucket
+    b = df.select(bucket_id(F.col("doc_id"), 8).alias("b")).where(F.col("n") == 7).first()["b"]
+    assert scan_file_count(t.read([int(b)])) <= all_files // 2
+
+
+def test_epoch_partition_pruning_on_changelog(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from bigquery_etl_fork_spark import datagen
+
+    log = datagen.change_log(n_docs=50, n_events=400, n_epochs=4, seed=5)
+    pq.write_to_dataset(log, str(tmp_path / "log"), partition_cols=["epoch"])
+    full = spark.read.parquet(str(tmp_path / "log"))
+    one = full.where(F.col("epoch") == 2)
+    # partition pruning shows up as a PartitionFilters entry on the scan
+    # (inputFiles() is pre-pruning, so inspect the physical plan instead)
+    plan = explain_string(one)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "epoch" in pf and "= 2" in pf.replace("epoch#", "")
+
+
+def test_aggregate_plan_has_map_side_combine(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = explain_string(q)
+    # partial_sum before the exchange = map-side combine (hot keys collapse
+    # before the shuffle — why the jvm LWW dedup needs no salting)
+    assert "partial_sum" in plan and "HashAggregate" in plan
+    # under AQE the codegen spans only materialize in the executed plan;
+    # vectorized parquet input is visible pre-execution though
+    assert "Batched: true" in plan
+
+
+def test_merge_plan_broadcasts_delta_keys(spark, tmp_path):
+    from bigquery_etl_fork_spark.operators.merge import merge_delta
+
+    current = spark.range(10000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"), F.col("id").alias("n")
+    )
+    delta = spark.createDataFrame(
+        [("d1", 1, "U"), ("d2", 2, "D")], "doc_id string, n long, op string"
+    )
+    plan = explain_string(merge_delta(current, delta, payload_cols=["doc_id", "n"]))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

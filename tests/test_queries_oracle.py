@@ -26,6 +26,13 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))
 def test_query_matches_oracle(spark, duck, name):
+    if name not in ORACLES:  # rows-only op (approximate result)
+        got = QUERIES[name](spark, SF_DIR).toPandas()
+        assert len(got) > 0
+        if {"approx_users", "exact_users"} <= set(got.columns):
+            err = (got["approx_users"] - got["exact_users"]).abs() / got["exact_users"]
+            assert (err < 0.15).all(), f"approx_count_distinct error too high: {err.max()}"
+        return
     got = QUERIES[name](spark, SF_DIR).toPandas()
     exp = duck.sql(ORACLES[name]).df()
     assert sorted(got.columns) == sorted(exp.columns), (
