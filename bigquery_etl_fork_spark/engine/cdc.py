@@ -100,7 +100,7 @@ class CDCEngine:
         shuffle_partition_bytes: int = 64 * 1024 * 1024,
         min_shuffle_partitions: int = 8,
         max_shuffle_partitions: int = 4096,
-        compact_files_per_bucket: int = 8,
+        compact_files_per_bucket: int = 16,
     ):
         if storage_mode not in ("mor", "cow"):
             raise ValueError(f"unknown storage_mode {storage_mode!r}")
@@ -264,7 +264,9 @@ class CDCEngine:
             ]
         )
         aligned = compat_select(deduped, target_plus)
-        staged = self.table.stage_delta(aligned, key_col=self.key)
+        staged = self.table.stage_delta(
+            aligned, key_col=self.key, op_col=self.op_col, order_col=self.order
+        )
         affected = sorted(int(b) for b in staged["stats"])
 
         if not affected:  # empty epoch: manifest row, no data change
@@ -273,34 +275,31 @@ class CDCEngine:
             )
             return EpochStats(epoch, events_in, 0, 0, 0, time.time() - t0)
 
-        # lineage from the staged files: reads only (op, lsn) columns plus
-        # the _b partition dir — cheap relative to the raw epoch slice
-        lin = (
-            self.spark.read.parquet(staged["dir"])
-            .groupBy(BUCKET_COL)
-            .agg(
-                F.sum(F.when(F.col(self.op_col) != OP_DELETE, 1).otherwise(0)).alias("ups"),
-                F.sum(F.when(F.col(self.op_col) == OP_DELETE, 1).otherwise(0)).alias("dels"),
-                F.min(self.order).alias("lsn_start"),
-                F.max(self.order).alias("lsn_end"),
+        # lineage straight from Parquet footer stats of the staged files
+        # (rows per tombstone/upsert dir + lsn min/max column statistics) —
+        # zero extra Spark jobs per epoch
+        rows_upserted = rows_deleted = 0
+        lineage_rows = []
+        lo_key, hi_key = f"{self.order}_min", f"{self.order}_max"
+        for b_str, files in staged["stats"].items():
+            ups = sum(f["rows"] for f in files if not f.get("tomb"))
+            dels = sum(f["rows"] for f in files if f.get("tomb"))
+            lsns_lo = [f[lo_key] for f in files if f.get(lo_key) is not None]
+            lsns_hi = [f[hi_key] for f in files if f.get(hi_key) is not None]
+            rows_upserted += ups
+            rows_deleted += dels
+            lineage_rows.append(
+                self._lineage_row(
+                    epoch,
+                    int(b_str),
+                    min(lsns_lo) if lsns_lo else None,
+                    max(lsns_hi) if lsns_hi else None,
+                    ups,
+                    dels,
+                    0,
+                    t0,
+                )
             )
-            .collect()
-        )
-        rows_upserted = sum(int(r["ups"]) for r in lin)
-        rows_deleted = sum(int(r["dels"]) for r in lin)
-        lineage_rows = [
-            self._lineage_row(
-                epoch,
-                int(r[BUCKET_COL]),
-                int(r["lsn_start"]),
-                int(r["lsn_end"]),
-                int(r["ups"]),
-                int(r["dels"]),
-                0,
-                t0,
-            )
-            for r in lin
-        ]
         self.table.commit_staged_delta(staged, props, lineage_rows)
         # amortized compaction: fold deltas into base when a bucket's
         # delta-file count hits the threshold (Iceberg rewrite_data_files /

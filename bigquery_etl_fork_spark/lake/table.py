@@ -47,6 +47,7 @@ from pyspark.sql import types as T
 from ..schema_evolution import compat_select, is_write_compatible, merge_schemas
 
 BUCKET_COL = "_b"
+TOMB_COL = "_t"  # delta-file partition flag: 'd' = tombstone rows, 'u' = upserts
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
 
@@ -183,15 +184,19 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
-    def _entries(self, buckets: list[int] | None, kind: str) -> list[tuple[str, str]]:
+    def _entries(self, buckets: list[int] | None, kind: str) -> list[dict[str, Any]]:
         snap = self._snapshot
         sel = [str(b) for b in buckets] if buckets is not None else list(snap.buckets.keys())
         return [
-            (str(f["schema_id"]), f["path"])
+            f
             for b in sel
             for f in snap.buckets.get(b, [])
             if f.get("kind", "base") == kind
         ]
+
+    @staticmethod
+    def _sid_paths(entries: list[dict[str, Any]]) -> list[tuple[str, str]]:
+        return [(str(f["schema_id"]), f["path"]) for f in entries]
 
     def snapshot_at(self, version: int) -> Snapshot:
         """Load a historical snapshot (time travel; files must not have been
@@ -226,7 +231,7 @@ class LakeTable:
                 self._snapshot = prev
         snap = self._snapshot
         target = snap.schema
-        base = self._read_files(self._entries(buckets, "base"), target)
+        base = self._read_files(self._sid_paths(self._entries(buckets, "base")), target)
         delta_entries = self._entries(buckets, "delta")
         if not delta_entries:
             return base if base is not None else self.spark.createDataFrame([], target)
@@ -235,11 +240,21 @@ class LakeTable:
             key_col = snap.properties.get("key_col")
         if key_col is None:
             raise ValueError("key_col required to resolve merge-on-read deltas")
-        delta_schema = T.StructType(
-            list(target.fields)
-            + [T.StructField(order_col, T.LongType()), T.StructField(op_col, T.StringType())]
+        # delta files physically hold payload + order; op is encoded in the
+        # entry's tombstone flag and re-attached as a literal per group
+        target_plus_order = T.StructType(
+            list(target.fields) + [T.StructField(order_col, T.LongType())]
         )
-        delta = self._read_files(delta_entries, delta_schema)
+        delta_parts = []
+        for tomb in (False, True):
+            ents = [e for e in delta_entries if bool(e.get("tomb")) == tomb]
+            if not ents:
+                continue
+            d = self._read_files(self._sid_paths(ents), target_plus_order)
+            delta_parts.append(d.withColumn(op_col, F.lit("D" if tomb else "U")))
+        delta = delta_parts[0]
+        for p in delta_parts[1:]:
+            delta = delta.unionByName(p)
         if base is None:
             u = delta
         else:
@@ -268,26 +283,53 @@ class LakeTable:
 
     # ---------------- write path ----------------
 
-    def _stats_for_dir(self, commit_dir: str) -> dict[str, list[dict[str, Any]]]:
-        """Walk a freshly written ``_b=NN`` partitioned dir; collect per-file
-        row/byte stats from Parquet footers (driver-side, cheap)."""
-        todo: list[tuple[str, str]] = []
-        for entry in sorted(os.listdir(commit_dir)):
-            if not entry.startswith(f"{BUCKET_COL}="):
+    def _stats_for_dir(
+        self, commit_dir: str, stats_col: str | None = None
+    ) -> dict[str, list[dict[str, Any]]]:
+        """Walk a freshly written partitioned dir (``_b=NN[/_t=x]``); collect
+        per-file row/byte stats — and, when ``stats_col`` is given, that
+        column's min/max from Parquet footer statistics — all driver-side,
+        no Spark job."""
+        todo: list[tuple[str, dict, str]] = []
+        for dirpath, _dn, filenames in os.walk(commit_dir):
+            parts = {}
+            for seg in os.path.relpath(dirpath, commit_dir).split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    parts[k] = v
+            if BUCKET_COL not in parts:
                 continue
-            b = str(int(entry.split("=")[1]))
-            bdir = os.path.join(commit_dir, entry)
-            for fn in sorted(os.listdir(bdir)):
+            b = str(int(parts[BUCKET_COL]))
+            for fn in sorted(filenames):
                 if fn.endswith(".parquet"):
-                    todo.append((b, os.path.join(bdir, fn)))
+                    todo.append((b, parts, os.path.join(dirpath, fn)))
 
-        def stat_one(item: tuple[str, str]) -> tuple[str, dict[str, Any]]:
-            b, fp = item
-            return b, {
+        def stat_one(item: tuple[str, dict, str]) -> tuple[str, dict[str, Any]]:
+            b, parts, fp = item
+            meta = pq.read_metadata(fp)
+            rec: dict[str, Any] = {
                 "path": os.path.relpath(fp, self.root),
-                "rows": pq.read_metadata(fp).num_rows,
+                "rows": meta.num_rows,
                 "bytes": os.path.getsize(fp),
             }
+            if TOMB_COL in parts:
+                rec["tomb"] = parts[TOMB_COL] == "d"
+            if stats_col is not None:
+                idx = next(
+                    (i for i in range(meta.num_columns)
+                     if meta.schema.column(i).name == stats_col),
+                    None,
+                )
+                if idx is not None:
+                    lo = hi = None
+                    for rg in range(meta.num_row_groups):
+                        st = meta.row_group(rg).column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+                    rec[f"{stats_col}_min"] = lo
+                    rec[f"{stats_col}_max"] = hi
+            return b, rec
 
         out: dict[str, list[dict[str, Any]]] = {}
         with ThreadPoolExecutor(max_workers=16) as ex:
@@ -296,7 +338,12 @@ class LakeTable:
         return out
 
     def _write_data(
-        self, df: DataFrame, key_col: str | None, pre_clustered: bool = False
+        self,
+        df: DataFrame,
+        key_col: str | None,
+        pre_clustered: bool = False,
+        partition_cols: list[str] | None = None,
+        stats_col: str | None = None,
     ) -> tuple[str, dict]:
         """Write df (optionally adding the bucket column from key_col) into a
         fresh commit dir, partitioned by bucket. Returns (commit_id, stats).
@@ -309,6 +356,8 @@ class LakeTable:
         """
         commit_id = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self.root, _DATA_DIR, commit_id)
+        if partition_cols is None:
+            partition_cols = [BUCKET_COL]
         if BUCKET_COL not in df.columns:
             if key_col is None:
                 raise ValueError("need key_col to derive bucket column")
@@ -317,8 +366,8 @@ class LakeTable:
             # One shuffle clusters rows by bucket so each bucket lands in few
             # files; this is the WRITE ORDERED BY clustering analog.
             df = df.repartition(BUCKET_COL)
-        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir)
-        return commit_id, self._stats_for_dir(commit_dir)
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(commit_dir)
+        return commit_id, self._stats_for_dir(commit_dir, stats_col=stats_col)
 
     @staticmethod
     def _write_snapshot(root: str, snap: Snapshot) -> None:
@@ -435,16 +484,28 @@ class LakeTable:
             lineage=lineage,
         )
 
-    def stage_delta(self, df: DataFrame, key_col: str) -> dict[str, Any]:
+    def stage_delta(
+        self, df: DataFrame, key_col: str, op_col: str = "op", order_col: str = "lsn"
+    ) -> dict[str, Any]:
         """Phase 1 of a merge-on-read commit: write LWW-resolvable delta
-        files (payload + order + op columns, op='D' rows are tombstones),
-        WITHOUT committing. Returns a staged handle whose ``stats`` reveal
-        the affected buckets — so the caller can derive lineage by scanning
-        only the freshly written (small, clustered) files instead of paying
-        a separate pre-write probe job over the raw epoch. Uncommitted
-        stages are invisible to readers and removed by ``vacuum()``."""
-        aux_schema = T.StructType([f for f in df.schema.fields if f.name != BUCKET_COL])
-        commit_id, stats = self._write_data(df, key_col)
+        files WITHOUT committing. Files physically contain payload + order;
+        the op is encoded as a ``_t`` partition directory ('d' tombstones /
+        'u' upserts), so per-(bucket, op) row counts and per-file lsn
+        min/max come straight from Parquet footers — the caller gets full
+        lineage from the returned ``stats`` with NO extra Spark job.
+        Uncommitted stages are invisible to readers; ``vacuum()`` removes
+        them."""
+        out = df
+        if op_col in out.columns:
+            out = out.withColumn(
+                TOMB_COL, F.when(F.col(op_col) == "D", F.lit("d")).otherwise(F.lit("u"))
+            ).drop(op_col)
+        aux_schema = T.StructType(
+            [f for f in out.schema.fields if f.name not in (BUCKET_COL, TOMB_COL)]
+        )
+        commit_id, stats = self._write_data(
+            out, key_col, partition_cols=[BUCKET_COL, TOMB_COL], stats_col=order_col
+        )
         return {
             "stats": stats,
             "aux_schema": aux_schema,
