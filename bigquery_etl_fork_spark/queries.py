@@ -753,6 +753,39 @@ FROM events WHERE event_type = 'error'
 """
 
 
+def q_jackknife_ci(spark, sf_dir):
+    """Jackknife mean CI per event_type over 20 user-hash buckets — the
+    udf_js/jackknife_mean_ci analog, pure Catalyst (operators.stats)."""
+    from .operators.stats import jackknife_mean_ci
+
+    ev = load(spark, sf_dir, "events").withColumn("bkt", F.pmod(F.col("user_id"), F.lit(20)))
+    return jackknife_mean_ci(ev, ["event_type"], "bkt", "value")
+
+
+SQL_JACKKNIFE = """
+WITH per AS (
+  SELECT event_type, user_id % 20 AS bkt, sum(value) AS s, count(*) AS c
+  FROM events GROUP BY 1, 2),
+loo AS (
+  SELECT event_type, s, c,
+         (sum(s) OVER (PARTITION BY event_type) - s)
+           / (sum(c) OVER (PARTITION BY event_type) - c) AS loo,
+         sum(s) OVER (PARTITION BY event_type)
+           / CAST(sum(c) OVER (PARTITION BY event_type) AS DOUBLE) AS mean_
+  FROM per),
+agg AS (
+  SELECT event_type, any_value(mean_) AS mean_, count(*) AS b,
+         avg(loo) AS m_loo, sum(loo * loo) AS s2
+  FROM loo GROUP BY event_type)
+SELECT event_type, round(mean_, 4) AS mean,
+       round(mean_ - 1.959963984540054
+             * sqrt(greatest(((b - 1.0) / b) * (s2 - b * m_loo * m_loo), 0)), 4) AS ci_low,
+       round(mean_ + 1.959963984540054
+             * sqrt(greatest(((b - 1.0) / b) * (s2 - b * m_loo * m_loo), 0)), 4) AS ci_high
+FROM agg
+"""
+
+
 def q_approx_distinct(spark, sf_dir):
     """HLL_COUNT analog — approximate, so the 'oracle' here is the EXACT
     distinct count and the query also returns it; the pytest bound (not the
@@ -888,6 +921,7 @@ QUERIES = {
     "map_sum": q_map_sum,
     "theta_join_unnest": q_theta_join_unnest,
     "union_by_name": q_union_by_name,
+    "jackknife_ci": q_jackknife_ci,
     "approx_distinct": q_approx_distinct,  # rows-only (approximate op)
     "cdc_replay": q_cdc_replay,
 }
@@ -921,6 +955,7 @@ ORACLES = {
     "map_sum": SQL_MAP_SUM,
     "theta_join_unnest": SQL_THETA_UNNEST,
     "union_by_name": SQL_UNION_BY_NAME,
+    "jackknife_ci": SQL_JACKKNIFE,
     # approx_distinct intentionally has no oracle (approximate result);
     # its exact bound is asserted in tests/test_queries_oracle.py
     "cdc_replay": SQL_CDC_REPLAY,
