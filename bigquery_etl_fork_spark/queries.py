@@ -41,13 +41,20 @@ def q_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # money sums in exact DECIMAL (order-independent), cast back to
+            # double before rounding so both engines hash identically
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (1 - F.col("l_discount")).cast("decimal(18,4)")
+                ), 2).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double") / F.count("*"), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double") / F.count("*"), 4
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -55,11 +62,12 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -80,9 +88,10 @@ def q_join3_revenue(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (1 - F.col("l_discount")).cast("decimal(18,4)")
+                ), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -90,7 +99,8 @@ def q_join3_revenue(spark, sf_dir):
 
 SQL_JOIN3 = """
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -308,13 +318,17 @@ def q_json_extract(spark, sf_dir):
     return (
         ev.select(k.alias("k"), "value")
         .groupBy((F.col("k") % 10).alias("k_mod"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("sum_value"),
+        )
     )
 
 
 SQL_JSON = """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-       count(*) AS n, round(sum(value), 2) AS sum_value
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1
 """
 
@@ -581,13 +595,16 @@ def q_right_outer(spark, sf_dir):
     j = o.join(c, o.o_custkey == c.c_custkey, "right")
     return j.groupBy("c_custkey").agg(
         F.count("o_orderkey").alias("n_orders"),
-        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        F.coalesce(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2).cast("double"),
+            F.lit(0.0),
+        ).alias("total_spend"),
     )
 
 
 SQL_RIGHT_OUTER = """
 SELECT c_custkey, count(o_orderkey) AS n_orders,
-       round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+       coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE), 0) AS total_spend
 FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey
 """
@@ -599,7 +616,7 @@ def q_pivot_event_values(spark, sf_dir):
     p = (
         ev.groupBy("user_id")
         .pivot("event_type", types)
-        .agg(F.round(F.sum("value"), 2))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double"))
     )
     cols = [F.coalesce(F.col(t), F.lit(0.0)).alias(f"v_{t}") for t in types]
     return p.select("user_id", *cols)
@@ -607,11 +624,11 @@ def q_pivot_event_values(spark, sf_dir):
 
 SQL_PIVOT = """
 SELECT user_id,
-       round(coalesce(sum(CASE WHEN event_type='click' THEN value END), 0), 2) AS v_click,
-       round(coalesce(sum(CASE WHEN event_type='error' THEN value END), 0), 2) AS v_error,
-       round(coalesce(sum(CASE WHEN event_type='purchase' THEN value END), 0), 2) AS v_purchase,
-       round(coalesce(sum(CASE WHEN event_type='signup' THEN value END), 0), 2) AS v_signup,
-       round(coalesce(sum(CASE WHEN event_type='view' THEN value END), 0), 2) AS v_view
+       coalesce(CAST(round(sum(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE), 0) AS v_click,
+       coalesce(CAST(round(sum(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE), 0) AS v_error,
+       coalesce(CAST(round(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE), 0) AS v_purchase,
+       coalesce(CAST(round(sum(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE), 0) AS v_signup,
+       coalesce(CAST(round(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE), 0) AS v_view
 FROM events GROUP BY user_id
 """
 
@@ -620,12 +637,16 @@ def q_rollup_pricing(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
     )
 
 
 SQL_ROLLUP = """
-SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -694,12 +715,13 @@ def q_map_sum(spark, sf_dir):
     exploded = entries.select("user_id", F.explode("m").alias("e"))
     return (
         exploded.groupBy("user_id", F.col("e.key").alias("key"))
-        .agg(F.round(F.sum("e.value"), 2).alias("total"))
+        .agg(F.round(F.sum(F.col("e.value").cast("decimal(18,4)")), 2).cast("double").alias("total"))
     )
 
 
 SQL_MAP_SUM = """
-SELECT user_id, event_type AS key, round(sum(value), 2) AS total
+SELECT user_id, event_type AS key,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
 FROM events GROUP BY user_id, event_type
 """
 
