@@ -360,16 +360,21 @@ FROM events GROUP BY event_type
 
 
 def q_except_types(spark, sf_dir):
+    """(user, day) pairs with a purchase but no error that day — EXCEPT
+    DISTINCT over composite keys (non-degenerate at every sf)."""
     ev = load(spark, sf_dir, "events")
-    jan = ev.where(F.col("ts") < F.lit("2024-01-10")).select("user_id").distinct()
-    late = ev.where(F.col("ts") >= F.lit("2024-01-10")).select("user_id").distinct()
-    return jan.exceptAll(late).distinct().select(F.col("user_id").alias("churned_user_id"))
+    d = F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    bought = ev.where(F.col("event_type") == "purchase").select("user_id", d).distinct()
+    errored = ev.where(F.col("event_type") == "error").select("user_id", d).distinct()
+    return bought.exceptAll(errored).distinct()
 
 
 SQL_EXCEPT = """
-SELECT user_id AS churned_user_id FROM events WHERE ts < TIMESTAMP '2024-01-10'
+SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'purchase'
 EXCEPT
-SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-10'
+SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'error'
 """
 
 
