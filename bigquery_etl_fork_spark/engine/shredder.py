@@ -89,7 +89,13 @@ def shred_keys(
         rows_before += before
         rows_after += after
         buckets_rewritten += len(group)
-    removed = table.vacuum() if vacuum else 0
+    if vacuum:
+        # GDPR hard delete: release historical snapshots too — the deleted
+        # rows' bytes must not survive in time-travelable versions
+        table.expire_snapshots(keep_last=1)
+        removed = table.vacuum()
+    else:
+        removed = 0
     return ShredResult(
         rows_deleted=rows_before - rows_after,
         buckets_rewritten=buckets_rewritten,

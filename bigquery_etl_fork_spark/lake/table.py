@@ -654,12 +654,28 @@ class LakeTable:
             rows.extend(snap.lineage)
         return rows
 
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Drop snapshot files older than the newest ``keep_last`` (Iceberg
+        expire_snapshots analog). Time travel to expired versions is gone;
+        their exclusive data files become vacuum-able. Returns the number of
+        snapshots removed."""
+        d = os.path.join(self.root, _SNAP_DIR)
+        snaps = sorted(f for f in os.listdir(d) if f.startswith("snap-") and f.endswith(".json"))
+        to_remove = snaps[:-keep_last] if keep_last > 0 else snaps[:-1]
+        for fn in to_remove:
+            os.remove(os.path.join(d, fn))
+        return len(to_remove)
+
     def vacuum(self) -> int:
-        """Delete data files not referenced by the latest snapshot (orphans
-        from crashed commits). Returns number of files removed."""
+        """Delete data files not referenced by ANY remaining snapshot
+        (crashed-commit orphans + files exclusive to expired snapshots).
+        Keeps time travel intact for every snapshot still on disk; run
+        ``expire_snapshots`` first to release history. Returns files
+        removed."""
         live = {
             os.path.join(self.root, f["path"])
-            for files in self._snapshot.buckets.values()
+            for snap in self.history()
+            for files in snap.buckets.values()
             for f in files
         }
         removed = 0
@@ -667,9 +683,13 @@ class LakeTable:
         for dirpath, _dirnames, filenames in os.walk(data_root):
             for fn in filenames:
                 fp = os.path.join(dirpath, fn)
-                if fp not in live and (fn.endswith(".parquet") or fn.startswith(("_", "."))):
+                if fp in live:
+                    continue
+                if fn.endswith(".parquet"):
                     os.remove(fp)
-                    removed += 1
+                    removed += 1  # only data files count
+                elif fn.startswith(("_", ".")):
+                    os.remove(fp)  # Spark write markers (_SUCCESS, .crc)
         for dirpath, dirnames, filenames in list(os.walk(data_root, topdown=False)):
             if dirpath != data_root and not dirnames and not filenames:
                 shutil.rmtree(dirpath, ignore_errors=True)

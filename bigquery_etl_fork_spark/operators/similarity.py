@@ -96,6 +96,68 @@ def lsh_candidate_pairs(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse quantizer with deterministic centroids: the n_cells rows
+    with the smallest xxhash64(id) are the centroids (seedless, stable);
+    every vector is assigned to its nearest centroid by cosine. Returns
+    (assigned_df with `cell` column, centroids). At scale the assignment is
+    a broadcast map-side argmin — no shuffle; cells become the partition
+    pruning unit for probes (the inverted-file idea)."""
+    seeds = (
+        df.select(id_col, vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
+    v = F.col(vec_col).cast("array<double>")
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_sim(v, F.array(*[F.lit(x) for x in c])).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in centroids
+        ]
+    )
+    assigned = df.withColumn("cell", F.array_max(scored)["cell"])
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN search: score the query against centroids driver-side, scan only
+    the nprobe nearest cells, exact re-rank inside them. Scan cost drops by
+    ~n_cells/nprobe vs brute force; recall tested vs the exact baseline."""
+    q = np.array(query_vec, dtype=float)
+
+    def cos(c):
+        c = np.array(c, dtype=float)
+        return float(c @ q / (np.linalg.norm(c) * np.linalg.norm(q)))
+
+    probe_cells = [i for i, _c in sorted(centroids, key=lambda t: -cos(t[1]))[:nprobe]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim(F.col(vec_col).cast("array<double>"), qcol)
+    return (
+        assigned.where(F.col("cell").isin(probe_cells))
+        .select(id_col, F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_all_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

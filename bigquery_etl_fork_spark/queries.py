@@ -825,6 +825,45 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+
+def q_retention_bits(spark, sf_dir):
+    """bits28 retention calculus over a 28-day window (reference
+    clients_last_seen / bits28.retention; operators.bitmap)."""
+    from .operators.bitmap import bits_direct, retention_metrics
+
+    ev = load(spark, sf_dir, "events")
+    bits = bits_direct(ev, "user_id", "ts", "2024-01-28", 28)
+    m = retention_metrics("days_seen_bits")
+    return bits.select(
+        "user_id",
+        "days_seen_bits",
+        m["days_since_seen"].alias("days_since_seen"),
+        m["active_week_0"].alias("active_week_0"),
+        m["active_week_1"].alias("active_week_1"),
+        m["retained_week_3"].alias("retained_week_3"),
+    )
+
+
+SQL_RETENTION_BITS = """
+WITH flags AS (
+  SELECT DISTINCT user_id,
+         datediff('day', CAST(ts AS DATE), DATE '2024-01-28') AS off
+  FROM events
+  WHERE datediff('day', CAST(ts AS DATE), DATE '2024-01-28') BETWEEN 0 AND 27),
+b AS (
+  SELECT user_id,
+         CAST(bit_or(CAST(round(pow(2, off)) AS BIGINT)) AS BIGINT) AS days_seen_bits
+  FROM flags GROUP BY user_id)
+SELECT user_id, days_seen_bits,
+       CAST(floor(log2(days_seen_bits & -days_seen_bits)) AS INT) AS days_since_seen,
+       (days_seen_bits & 127) > 0 AS active_week_0,
+       (days_seen_bits & (127 * 128)) > 0 AS active_week_1,
+       ((days_seen_bits & (127 * CAST(pow(2, 21) AS BIGINT))) > 0
+        AND (days_seen_bits & 127) > 0) AS retained_week_3
+FROM b
+"""
+
+
 # --------------------------------------------------------------------------
 # FLAGSHIP: full CDC replay through the engine, with a pure-SQL LWW oracle.
 # Change log derived deterministically from `events`; base from `documents`.
@@ -949,6 +988,7 @@ QUERIES = {
     "theta_join_unnest": q_theta_join_unnest,
     "union_by_name": q_union_by_name,
     "jackknife_ci": q_jackknife_ci,
+    "retention_bits": q_retention_bits,
     "approx_distinct": q_approx_distinct,  # rows-only (approximate op)
     "cdc_replay": q_cdc_replay,
 }
@@ -983,6 +1023,7 @@ ORACLES = {
     "theta_join_unnest": SQL_THETA_UNNEST,
     "union_by_name": SQL_UNION_BY_NAME,
     "jackknife_ci": SQL_JACKKNIFE,
+    "retention_bits": SQL_RETENTION_BITS,
     # approx_distinct intentionally has no oracle (approximate result);
     # its exact bound is asserted in tests/test_queries_oracle.py
     "cdc_replay": SQL_CDC_REPLAY,

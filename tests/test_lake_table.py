@@ -110,9 +110,15 @@ def test_atomic_commit_no_partial_state(spark, table, tmp_path):
     assert {r.doc_id for r in table.read().collect()} == {"a"}
 
 
-def test_vacuum_removes_orphans(spark, table):
+def test_vacuum_preserves_time_travel_until_expired(spark, table):
     table.overwrite_all(_df(spark, [("a", 1), ("b", 2)]), key_col="doc_id")
     table.overwrite_all(_df(spark, [("a", 7)]), key_col="doc_id")  # v2 replaces all
+    # with history intact, vacuum must not touch files old snapshots need
+    assert table.vacuum() == 0
+    old = table.read(at_version=1).collect()
+    assert {(r.doc_id, r.n) for r in old} == {("a", 1), ("b", 2)}
+    # expire history -> old files become vacuum-able
+    assert table.expire_snapshots(keep_last=1) == 2
     removed = table.vacuum()
     assert removed > 0
     assert {(r.doc_id, r.n) for r in table.read().collect()} == {("a", 7)}

@@ -162,3 +162,47 @@ def test_mode_last_expression(spark):
     out = [r.m for r in df.select(UF.mode_last(F.col("vals")).alias("m")).collect()]
     # ties (a:2, b:2) -> latest occurrence wins: 'a' at idx 3 beats 'b' at 2
     assert out == ["a", "y"]
+
+
+# ---------------- bitmap fold vs direct ----------------
+
+
+def test_daily_fold_equals_direct_bitmap(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    from bigquery_etl_fork_spark.operators.bitmap import bits_direct, fold_daily_bits
+
+    days = [f"2024-01-{d:02d}" for d in range(1, 29)]
+    folded = {r.user_id: r.days_seen_bits for r in
+              fold_daily_bits(ev, "user_id", "ts", days).collect()}
+    direct = {r.user_id: r.days_seen_bits for r in
+              bits_direct(ev, "user_id", "ts", "2024-01-28", 28).collect()}
+    assert folded == direct and len(folded) > 0
+
+
+# ---------------- IVF ANN ----------------
+
+
+def test_ivf_topk_recall(spark):
+    from bigquery_etl_fork_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    cand = emb.where("vec_id <> 0")
+    assigned, cents = ivf_assign(cand, n_cells=8)
+    assert assigned.select("cell").distinct().count() <= 8
+    approx = [r.vec_id for r in ivf_topk(assigned, cents, qvec, k=10, nprobe=4).collect()]
+    # exact baseline
+    from bigquery_etl_fork_spark.operators.similarity import cosine_sim
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    exact = [
+        r.vec_id
+        for r in cand.select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding").cast("array<double>"), qcol), 6).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.5, f"IVF recall {recall}: {approx} vs {exact}"

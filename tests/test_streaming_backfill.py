@@ -128,3 +128,52 @@ def test_multimodal_decode_and_resize(spark, tmp_path):
     )
     out = decode_media(bad).collect()[0]
     assert out.ok is False
+
+
+def test_stateful_running_key_state(spark, tmp_path, data):
+    """applyInPandasWithState: streaming per-key state equals batch truth."""
+    import pyspark.sql.functions as F
+
+    from bigquery_etl_fork_spark.streaming.stateful import running_key_state
+
+    log_dir = str(data["dir"] / "change_log")
+    schema = spark.read.parquet(log_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("basePath", log_dir)
+        .parquet(log_dir + "/epoch=*")
+        .select("doc_id", "lsn", "op")
+    )
+    q = (
+        running_key_state(stream)
+        .writeStream.format("memory")
+        .queryName("key_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.events_seen, r.last_lsn, r.is_deleted)
+        for r in spark.sql(
+            # latest state row per key (update mode may emit per batch)
+            "SELECT doc_id, events_seen, last_lsn, is_deleted FROM ("
+            "  SELECT *, row_number() OVER "
+            "    (PARTITION BY doc_id ORDER BY last_lsn DESC, events_seen DESC) AS rn"
+            "  FROM key_state) WHERE rn = 1"
+        ).collect()
+    }
+    truth = {
+        r.doc_id: (r.c, r.mx, r.del_)
+        for r in spark.read.parquet(log_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("c"),
+            F.max("lsn").alias("mx"),
+            F.max_by(F.col("op") == "D", "lsn").alias("del_"),
+        )
+        .collect()
+    }
+    assert set(got) == set(truth)
+    mismatch = {k: (got[k], truth[k]) for k in truth if got[k] != truth[k]}
+    assert not mismatch, list(mismatch.items())[:5]
