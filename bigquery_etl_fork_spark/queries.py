@@ -864,6 +864,50 @@ FROM b
 """
 
 
+
+def q_asof_attribution(spark, sf_dir):
+    """True as-of join (cogrouped merge_asof): each purchase attributed to
+    the user's most recent prior (or simultaneous) click."""
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("c_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(purchases, clicks, "user_id", "p_ts", "c_ts", ["click_id", "c_ts"])
+    return j.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.when(
+            F.col("click_id").isNotNull(),
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).cast("long"),
+        ).alias("gap_s"),
+    )
+
+
+SQL_ASOF = """
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts AS c_ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.user_id, p.purchase_id, c.click_id,
+       CASE WHEN c.click_id IS NOT NULL THEN
+         CAST(floor(epoch(p.p_ts)) AS BIGINT) - CAST(floor(epoch(c.c_ts)) AS BIGINT)
+       END AS gap_s
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+"""
+
+
 # --------------------------------------------------------------------------
 # FLAGSHIP: full CDC replay through the engine, with a pure-SQL LWW oracle.
 # Change log derived deterministically from `events`; base from `documents`.
@@ -989,6 +1033,7 @@ QUERIES = {
     "union_by_name": q_union_by_name,
     "jackknife_ci": q_jackknife_ci,
     "retention_bits": q_retention_bits,
+    "asof_attribution": q_asof_attribution,
     "approx_distinct": q_approx_distinct,  # rows-only (approximate op)
     "cdc_replay": q_cdc_replay,
 }
@@ -1024,6 +1069,7 @@ ORACLES = {
     "union_by_name": SQL_UNION_BY_NAME,
     "jackknife_ci": SQL_JACKKNIFE,
     "retention_bits": SQL_RETENTION_BITS,
+    "asof_attribution": SQL_ASOF,
     # approx_distinct intentionally has no oracle (approximate result);
     # its exact bound is asserted in tests/test_queries_oracle.py
     "cdc_replay": SQL_CDC_REPLAY,
