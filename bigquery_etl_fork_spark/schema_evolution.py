@@ -39,8 +39,10 @@ class SchemaEvolutionError(ValueError):
 
 
 def can_widen(src: T.DataType, dst: T.DataType) -> bool:
-    """True if src may be losslessly promoted to dst."""
-    if src == dst:
+    """True if src may be losslessly promoted to dst. NullType (a column
+    that is entirely NULL — e.g. payload fields of an all-delete epoch) is
+    the bottom type: compatible with everything."""
+    if src == dst or isinstance(src, T.NullType):
         return True
     allowed = _WIDENINGS.get(type(src), ())
     return isinstance(dst, allowed)
@@ -49,6 +51,10 @@ def can_widen(src: T.DataType, dst: T.DataType) -> bool:
 def _merge_types(src: T.DataType, dst: T.DataType, path: str) -> T.DataType:
     if src == dst:
         return dst
+    if isinstance(src, T.NullType):
+        return dst
+    if isinstance(dst, T.NullType):
+        return src
     if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
         return merge_schemas(dst, src, _path=path)
     if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
