@@ -1,4 +1,5 @@
 from .changelog import ParquetChangeLog
 from .external import read_csv, read_json
+from .export import publish_json
 
-__all__ = ["ParquetChangeLog", "read_csv", "read_json"]
+__all__ = ["ParquetChangeLog", "publish_json", "read_csv", "read_json"]

@@ -206,3 +206,25 @@ def test_ivf_topk_recall(spark):
     ]
     recall = len(set(approx) & set(exact)) / 10
     assert recall >= 0.5, f"IVF recall {recall}: {approx} vs {exact}"
+
+
+# ---------------- JSON export sink ----------------
+
+
+def test_publish_json_roundtrip(spark, tmp_path):
+    import glob
+    import gzip as gz
+    import json
+
+    from bigquery_etl_fork_spark.sources.export import publish_json
+
+    df = spark.read.parquet(f"{SF}/events.parquet").limit(50)
+    out = str(tmp_path / "export")
+    publish_json(df, out, gzip=True, single_file=True)
+    files = glob.glob(out + "/*.json.gz")
+    assert len(files) == 1
+    rows = [json.loads(ln) for ln in gz.open(files[0], "rt")]
+    assert len(rows) == 50
+    assert set(rows[0]) == set(df.columns)
+    # timestamps rendered ISO-Z
+    assert rows[0]["ts"].endswith("Z") and "T" in rows[0]["ts"]
