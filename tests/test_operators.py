@@ -228,3 +228,31 @@ def test_publish_json_roundtrip(spark, tmp_path):
     assert set(rows[0]) == set(df.columns)
     # timestamps rendered ISO-Z
     assert rows[0]["ts"].endswith("Z") and "T" in rows[0]["ts"]
+
+
+# ---------------- shredder mitigation ----------------
+
+
+def test_shredder_mitigation_keeps_totals_continuous(spark):
+    from bigquery_etl_fork_spark.engine.mitigation import (
+        apply_mitigation,
+        classify_columns,
+        shredder_mitigation_patch,
+    )
+
+    prev = spark.createDataFrame(
+        [("web", "en", 100, 10.0), ("web", "de", 50, 5.0), ("code", "en", 30, 3.0)],
+        "source string, lang string, n bigint, amt double",
+    )
+    # backfill after deletions: web/en lost 20, code/en unchanged, web/de gone
+    new = spark.createDataFrame(
+        [("web", "en", 80, 8.0), ("code", "en", 30, 3.0)],
+        "source string, lang string, n bigint, amt double",
+    )
+    dims, mets = classify_columns(prev)
+    assert dims == ["source", "lang"] and mets == ["n", "amt"]
+    patch = {(r.source, r.lang): (r.n, r.amt)
+             for r in shredder_mitigation_patch(prev, new).collect()}
+    assert patch == {("web", "en"): (20, 2.0), ("web", "de"): (50, 5.0)}
+    total = apply_mitigation(prev, new).groupBy().sum("n").collect()[0][0]
+    assert total == 180  # previous grand total preserved
