@@ -41,7 +41,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..lake import BUCKET_COL, LakeTable, bucket_id
-from ..operators.dedup_lww import lww_dedup, lww_dedup_salted
+from ..operators.dedup_lww import (
+    lww_dedup,
+    lww_dedup_bucket_clustered,
+    lww_dedup_salted,
+)
 from ..operators.merge import OP_DELETE, merge_delta_clustered
 from ..operators.skew import is_skewed
 from ..schema_evolution import compat_select, is_write_compatible, merge_schemas
@@ -255,7 +259,6 @@ class CDCEngine:
         fall out of the write stats; lineage comes from a column-pruned scan
         of the freshly written (small, clustered) delta files. O(delta) cost
         — no state read, no anti join, no state rewrite this epoch."""
-        deduped = self._dedup_payload(events, target)
         target_plus = T.StructType(
             list(target.fields)
             + [
@@ -263,10 +266,42 @@ class CDCEngine:
                 T.StructField(self.op_col, T.StringType()),
             ]
         )
-        aligned = compat_select(deduped, target_plus)
-        staged = self.table.stage_delta(
-            aligned, key_col=self.key, op_col=self.op_col, order_col=self.order
+        use_salt = self.salt == "on" or (
+            self.salt == "auto"
+            and self.dedup_mode in ("grouped", "partition")
+            and is_skewed(
+                events.select(self.key, self.order, self.op_col),
+                self.key,
+                self.hot_threshold,
+                sample_fraction=0.05,
+            )
         )
+        if self.dedup_mode == "jvm" and not use_salt:
+            # single-shuffle fast path: the bucket-clustered dedup's output
+            # distribution doubles as the write clustering, so the delta
+            # moves exactly once per epoch
+            nb = self.table.num_buckets
+            slim = events.select(
+                self.key, self.order, self.op_col,
+                *[f.name for f in target.fields
+                  if f.name != self.key and f.name in events.columns],
+            )
+            deduped = lww_dedup_bucket_clustered(
+                slim, lambda c: bucket_id(c, nb), BUCKET_COL, self.key, self.order
+            )
+            aligned = compat_select(deduped, target_plus).withColumn(
+                BUCKET_COL, bucket_id(F.col(self.key), nb)
+            )
+            staged = self.table.stage_delta(
+                aligned, key_col=self.key, op_col=self.op_col,
+                order_col=self.order, pre_clustered=True,
+            )
+        else:
+            deduped = self._dedup_payload(events, target)
+            aligned = compat_select(deduped, target_plus)
+            staged = self.table.stage_delta(
+                aligned, key_col=self.key, op_col=self.op_col, order_col=self.order
+            )
         affected = sorted(int(b) for b in staged["stats"])
 
         if not affected:  # empty epoch: manifest row, no data change

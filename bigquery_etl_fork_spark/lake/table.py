@@ -485,7 +485,12 @@ class LakeTable:
         )
 
     def stage_delta(
-        self, df: DataFrame, key_col: str, op_col: str = "op", order_col: str = "lsn"
+        self,
+        df: DataFrame,
+        key_col: str,
+        op_col: str = "op",
+        order_col: str = "lsn",
+        pre_clustered: bool = False,
     ) -> dict[str, Any]:
         """Phase 1 of a merge-on-read commit: write LWW-resolvable delta
         files WITHOUT committing. Files physically contain payload + order;
@@ -504,7 +509,11 @@ class LakeTable:
             [f for f in out.schema.fields if f.name not in (BUCKET_COL, TOMB_COL)]
         )
         commit_id, stats = self._write_data(
-            out, key_col, partition_cols=[BUCKET_COL, TOMB_COL], stats_col=order_col
+            out,
+            key_col,
+            partition_cols=[BUCKET_COL, TOMB_COL],
+            stats_col=order_col,
+            pre_clustered=pre_clustered,
         )
         return {
             "stats": stats,

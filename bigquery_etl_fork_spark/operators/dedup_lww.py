@@ -114,6 +114,42 @@ def _lww_partition(df: DataFrame, key: str, order: str, num_partitions: int | No
     return sorted_df.mapInPandas(dedup_stream, schema=schema)
 
 
+def lww_dedup_bucket_clustered(
+    df: DataFrame,
+    bucket_expr,
+    bucket_col: str,
+    key: str = "doc_id",
+    order: str = "lsn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Single-shuffle LWW dedup whose output is ALSO clustered by bucket.
+
+    Because bucket = f(key), repartitioning on the bucket column co-locates
+    every key's rows; after sortWithinPartitions(bucket, key, order) a
+    window PARTITION BY bucket ORDER BY (key, order) is satisfied by the
+    existing distribution+sort, so Catalyst inserts NO extra exchange: the
+    winner of each key run is the row whose successor has a different key.
+    One shuffle total — and the result can be written partitionBy(bucket)
+    with no further movement. The MoR write path's fast dedup.
+    """
+    from pyspark.sql import Window as W
+
+    out = df.withColumn(bucket_col, bucket_expr(F.col(key)))
+    shuffled = (
+        out.repartition(num_partitions, bucket_col)
+        if num_partitions
+        else out.repartition(bucket_col)
+    )
+    sorted_df = shuffled.sortWithinPartitions(bucket_col, key, order)
+    w = W.partitionBy(bucket_col).orderBy(key, order)
+    nxt = F.lead(key).over(w)
+    return (
+        sorted_df.withColumn("_is_winner", nxt.isNull() | (nxt != F.col(key)))
+        .where(F.col("_is_winner"))
+        .drop("_is_winner")
+    )
+
+
 def lww_dedup_salted(
     df: DataFrame,
     key: str = "doc_id",
