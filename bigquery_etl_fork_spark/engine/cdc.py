@@ -24,10 +24,15 @@ scheduled daily pipeline. Correspondences:
   data coerced by Arrow-vectorized ``compat_select``.
 
 Scale shape per epoch (E events into a table of B buckets):
-  scan epoch slice (partition-pruned) → LWW reduce (map-side combine, one
-  shuffle on hash(doc_id)) → affected-bucket set (≤B, driver-side) → scan
-  ONLY affected buckets of state → broadcast-anti join (state side never
-  shuffles) → one bucket-clustering shuffle of merged output → atomic commit.
+
+- merge-on-read (default): scan epoch slice (partition-pruned) →
+  bucket-clustered LWW dedup (ONE shuffle; the window reuses the bucket
+  distribution, and the output is already write-clustered) → delta files
+  appended per bucket, lineage from Parquet footers (no extra job) →
+  atomic commit. State is never read or rewritten; compaction amortizes.
+- copy-on-write: column-pruned probe (lineage + affected buckets) → dedup
+  shuffle → scan ONLY affected buckets of state → broadcast-anti join
+  (state side never shuffles) → clustered write → atomic commit.
 """
 
 from __future__ import annotations
