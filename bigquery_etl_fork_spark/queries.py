@@ -908,6 +908,48 @@ ASOF LEFT JOIN clicks c
 """
 
 
+
+def q_sessionize(spark, sf_dir, gap_minutes: int = 30):
+    """Gap-based sessionization: cumulative-sum-of-boundaries window pattern
+    (the events_daily session encoding family, all JVM window functions)."""
+    ev = load(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    new_sess = (
+        F.when(sec - F.lag(sec).over(w) > gap_minutes * 60, 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    wcum = w.rowsBetween(W.unboundedPreceding, 0)
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(wcum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        (F.max(sec) - F.min(sec)).cast("long").alias("duration_s"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, event_id, sec,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event,
+       max(sec) - min(sec) AS duration_s
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 # --------------------------------------------------------------------------
 # FLAGSHIP: full CDC replay through the engine, with a pure-SQL LWW oracle.
 # Change log derived deterministically from `events`; base from `documents`.
@@ -1034,6 +1076,7 @@ QUERIES = {
     "jackknife_ci": q_jackknife_ci,
     "retention_bits": q_retention_bits,
     "asof_attribution": q_asof_attribution,
+    "sessionize": q_sessionize,
     "approx_distinct": q_approx_distinct,  # rows-only (approximate op)
     "cdc_replay": q_cdc_replay,
 }
@@ -1070,6 +1113,7 @@ ORACLES = {
     "jackknife_ci": SQL_JACKKNIFE,
     "retention_bits": SQL_RETENTION_BITS,
     "asof_attribution": SQL_ASOF,
+    "sessionize": SQL_SESSIONIZE,
     # approx_distinct intentionally has no oracle (approximate result);
     # its exact bound is asserted in tests/test_queries_oracle.py
     "cdc_replay": SQL_CDC_REPLAY,
