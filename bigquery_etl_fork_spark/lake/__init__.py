@@ -1,3 +1,3 @@
-from .table import BUCKET_COL, LakeTable, Snapshot, bucket_id
+from .table import BUCKET_COL, CommitConflict, LakeTable, Snapshot, bucket_id
 
-__all__ = ["BUCKET_COL", "LakeTable", "Snapshot", "bucket_id"]
+__all__ = ["BUCKET_COL", "CommitConflict", "LakeTable", "Snapshot", "bucket_id"]

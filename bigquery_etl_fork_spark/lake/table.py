@@ -52,6 +52,11 @@ _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed the same snapshot version first (optimistic
+    concurrency loss); refresh and retry."""
+
+
 def bucket_id(col: F.Column, num_buckets: int) -> F.Column:
     """Stable bucket of a key column: pmod(xxhash64(key), N).
 
@@ -371,16 +376,30 @@ class LakeTable:
 
     @staticmethod
     def _write_snapshot(root: str, snap: Snapshot) -> None:
+        """Publish a snapshot. The commit point is an atomic hard-link of the
+        fsynced temp file to its final name: ``os.link`` fails with EEXIST if
+        another writer already published this version, so concurrent commits
+        against the same parent lose cleanly instead of silently clobbering
+        (optimistic concurrency, the Iceberg commit-conflict analog)."""
         d = os.path.join(root, _SNAP_DIR)
         final = os.path.join(d, f"snap-{snap.version:010d}.json")
-        if os.path.exists(final):
-            raise RuntimeError(f"snapshot {snap.version} already exists (concurrent writer?)")
         tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write(snap.to_json())
             fh.flush()
             os.fsync(fh.fileno())
-        os.rename(tmp, final)  # atomic on POSIX — the commit point
+        try:
+            os.link(tmp, final)  # atomic + exclusive — the commit point
+        except FileExistsError:
+            raise CommitConflict(
+                f"snapshot {snap.version} already committed by another writer; "
+                "refresh() and retry the operation"
+            ) from None
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def _commit(
         self,

@@ -134,3 +134,20 @@ def test_history_and_lineage(spark, table):
     assert [s.version for s in hist] == [0, 1]
     rows = table.manifest_rows()
     assert rows and rows[0]["epoch"] == 1
+
+
+def test_commit_conflict_on_concurrent_writers(spark, table):
+    from bigquery_etl_fork_spark.lake import CommitConflict, LakeTable
+
+    table.overwrite_all(_df(spark, [("a", 1)]), key_col="doc_id")
+    # a second handle (simulating another driver) commits version 2 first
+    other = LakeTable(spark, table.root)
+    other.overwrite_all(_df(spark, [("b", 2)]), key_col="doc_id")
+    # the stale handle's commit must lose cleanly, not clobber
+    with pytest.raises(CommitConflict):
+        table.overwrite_all(_df(spark, [("c", 3)]), key_col="doc_id")
+    table.refresh()
+    assert {r.doc_id for r in table.read().collect()} == {"b"}
+    # retry after refresh succeeds with the next version
+    table.overwrite_all(_df(spark, [("c", 3)]), key_col="doc_id")
+    assert {r.doc_id for r in table.read().collect()} == {"c"}
