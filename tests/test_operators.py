@@ -256,3 +256,47 @@ def test_shredder_mitigation_keeps_totals_continuous(spark):
     assert patch == {("web", "en"): (20, 2.0), ("web", "de"): (50, 5.0)}
     total = apply_mitigation(prev, new).groupBy().sum("n").collect()[0][0]
     assert total == 180  # previous grand total preserved
+
+
+# ---------------- functions library leftovers + external sources ----------------
+
+
+def test_array_and_map_function_library(spark):
+    from bigquery_etl_fork_spark import functions as UF2
+
+    df = spark.createDataFrame([([1, 2, 3], 9)], "arr array<int>, x int")
+    row = df.select(
+        UF2.array_drop_first_and_append(F.col("arr"), F.col("x")).alias("rolled"),
+        UF2.dedupe_array(F.array(F.lit(1), F.lit(1), F.lit(2))).alias("dd"),
+        UF2.map_from_lists(
+            F.array(F.lit("a"), F.lit("b")), F.array(F.lit(1), F.lit(2))
+        ).alias("m"),
+        UF2.sample_id(F.lit("client-42")).alias("sid"),
+        UF2.active_n_weeks_ago(F.lit(1 << 7).cast("long"), 1).alias("wk1"),
+    ).collect()[0]
+    assert list(row.rolled) == [2, 3, 9]
+    assert sorted(row.dd) == [1, 2]
+    assert [(e.key, e.value) for e in row.m] == [("a", 1), ("b", 2)]
+    assert 0 <= row.sid < 100
+    assert row.wk1 is True
+    got_key = df.select(
+        UF2.map_get_key(
+            UF2.map_from_lists(F.array(F.lit("k")), F.array(F.lit(7))), "k"
+        ).alias("v")
+    ).collect()[0].v
+    assert got_key == 7
+
+
+def test_external_sources_with_declared_schema(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from bigquery_etl_fork_spark.sources import read_csv, read_json
+
+    (tmp_path / "x.csv").write_text("id,name\n1,a\n2,b\n")
+    (tmp_path / "x.json").write_text('{"id": 3, "name": "c"}\n{"id": 4, "name": "d"}\n')
+    schema = T.StructType([T.StructField("id", T.LongType()), T.StructField("name", T.StringType())])
+    c = read_csv(spark, str(tmp_path / "x.csv"), schema, view_name="ext_csv")
+    j = read_json(spark, str(tmp_path / "x.json"), schema)
+    assert {(r.id, r.name) for r in c.collect()} == {(1, "a"), (2, "b")}
+    assert {(r.id, r.name) for r in j.collect()} == {(3, "c"), (4, "d")}
+    assert spark.sql("SELECT count(*) FROM ext_csv").collect()[0][0] == 2
