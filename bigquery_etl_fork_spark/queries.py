@@ -950,6 +950,26 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+
+def q_cube_pricing(spark, sf_dir):
+    """CUBE multi-granularity aggregate (§2.4; the reference does this as
+    hand-written UNION ALL granularities — Spark has it native)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # --------------------------------------------------------------------------
 # FLAGSHIP: full CDC replay through the engine, with a pure-SQL LWW oracle.
 # Change log derived deterministically from `events`; base from `documents`.
@@ -1077,6 +1097,7 @@ QUERIES = {
     "retention_bits": q_retention_bits,
     "asof_attribution": q_asof_attribution,
     "sessionize": q_sessionize,
+    "cube_pricing": q_cube_pricing,
     "approx_distinct": q_approx_distinct,  # rows-only (approximate op)
     "cdc_replay": q_cdc_replay,
 }
@@ -1114,6 +1135,7 @@ ORACLES = {
     "retention_bits": SQL_RETENTION_BITS,
     "asof_attribution": SQL_ASOF,
     "sessionize": SQL_SESSIONIZE,
+    "cube_pricing": SQL_CUBE,
     # approx_distinct intentionally has no oracle (approximate result);
     # its exact bound is asserted in tests/test_queries_oracle.py
     "cdc_replay": SQL_CDC_REPLAY,

@@ -154,3 +154,36 @@ def test_lineage_rows_written(spark, tmp_path, data):
         assert r["rows_upserted"] + r["rows_deleted"] > 0
         assert r["bytes_written"] > 0
         assert r["apply_latency_ms"] >= 0
+
+
+def test_crash_between_commit_and_compaction_self_heals(spark, tmp_path, data, monkeypatch):
+    """A crash after the watermark commit but before compaction leaves extra
+    delta files; the next applied epoch re-triggers compaction (self-healing
+    maintenance, no data loss, no double-apply)."""
+    from bigquery_etl_fork_spark.lake import LakeTable as LT
+
+    t = _fresh_table(spark, tmp_path, data)
+    log_df = spark.read.parquet(str(data["dir"] / "log.parquet"))
+    eng = CDCEngine(spark, t, compact_files_per_bucket=2)
+
+    calls = {"n": 0}
+    orig = LT.compact_buckets
+
+    def exploding_compact(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise SimulatedCrash("crash before compaction")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(LT, "compact_buckets", exploding_compact)
+    with pytest.raises(SimulatedCrash):
+        eng.replay(log_df)
+    wm_after_crash = t.snapshot.properties["epoch_watermark"]
+
+    # restart (fresh handle): crashed epoch is fenced, compaction re-runs
+    t2 = LakeTable(spark, t.root)
+    eng2 = CDCEngine(spark, t2, compact_files_per_bucket=2)
+    stats = eng2.replay(log_df)
+    assert all(e.epoch <= wm_after_crash for e in stats.epochs if e.skipped)
+    assert calls["n"] >= 2  # compaction re-attempted after the crash
+    assert_states_equal(_state_pdf(t2), replay_oracle(data["base"], data["log"]))
