@@ -151,3 +151,36 @@ def test_commit_conflict_on_concurrent_writers(spark, table):
     # retry after refresh succeeds with the next version
     table.overwrite_all(_df(spark, [("c", 3)]), key_col="doc_id")
     assert {r.doc_id for r in table.read().collect()} == {"c"}
+
+
+def test_change_feed_between_versions(spark, tmp_path, table):
+    """CDC-out: engine-applied epochs are re-derivable as a change feed."""
+    import pyarrow.parquet as pq
+
+    from bigquery_etl_fork_spark import datagen
+    from bigquery_etl_fork_spark.engine import CDCEngine
+
+    d = tmp_path / "cf"
+    d.mkdir()
+    base = datagen.base_table(n_docs=100, seed=8)
+    log = datagen.change_log(n_docs=100, n_events=400, n_epochs=2, seed=9, dup_frac=0)
+    pq.write_table(base, str(d / "base.parquet"))
+    pq.write_to_dataset(log, str(d / "log"), partition_cols=["epoch"])
+    base_df = spark.read.parquet(str(d / "base.parquet"))
+    t = LakeTable.create(spark, str(tmp_path / "cft"), base_df.schema, num_buckets=4)
+    t.overwrite_all(base_df, key_col="doc_id")
+    v0 = t.snapshot.version
+    eng = CDCEngine(spark, t, count_input=False)
+    eng.replay(spark.read.parquet(str(d / "log")))
+    v2 = t.snapshot.version
+
+    feed = t.changes(v0, v2).toPandas()
+    lp = log.to_pandas().sort_values("lsn")
+    last = lp.drop_duplicates("doc_id", keep="last").set_index("doc_id")
+    assert set(feed["doc_id"]) == set(last.index)
+    for _, r in feed.iterrows():
+        truth = last.loc[r["doc_id"]]
+        assert r["lsn"] == truth["lsn"]
+        assert (r["op"] == "D") == (truth["op"] == "D")
+    # a range containing only the initial load emits nothing
+    assert t.changes(0, v0).count() == 0
