@@ -49,6 +49,12 @@ def shred_keys(
     of the reference's per-partition task splitting that bounds single-job
     size (``--max-single-dml-bytes``, ``delete.py:103-111``). Each group
     commit is atomic and idempotent, so a crashed shred can simply be re-run.
+
+    NOTE: with ``vacuum=True`` the shred expires ALL historical snapshots
+    (GDPR: deleted bytes must not survive in time-travelable versions), so
+    time-travel-based backfills from pre-shred epochs become impossible
+    afterwards — run pending backfills first, or rebuild staging by
+    replaying the raw change log.
     """
     t0 = time.time()
     if isinstance(keys, list):
