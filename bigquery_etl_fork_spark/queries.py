@@ -940,8 +940,9 @@ WITH flagged AS (
   FROM events),
 sess AS (
   SELECT user_id, event_id, sec,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM flagged)
 SELECT user_id, session_id, count(*) AS n_events,
        min(event_id) AS first_event, max(event_id) AS last_event,
@@ -1064,6 +1065,214 @@ FROM fin
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# §2.3 plain LEFT OUTER join — the single most common reference join form
+# (273 files; sql_generators/glean_usage/templates/
+#  baseline_clients_daily_v1.query.sql:236-238)
+# --------------------------------------------------------------------------
+
+
+def q_left_outer(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_spend"),
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("n_orders"),
+        "total_spend",
+    )
+
+
+SQL_LEFT_OUTER = """
+SELECT c.c_custkey, c.c_mktsegment,
+       COALESCE(a.n_orders, 0) AS n_orders, a.total_spend
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total_spend
+  FROM orders GROUP BY o_custkey) a
+ON c.c_custkey = a.o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 RANK / DENSE_RANK / NTILE (reference: 5/3/7 files, e.g.
+# sql/moz-fx-data-shared-prod/telemetry_derived/.../rank() usages).
+# Coarse price bucket makes real ties so RANK and DENSE_RANK diverge;
+# NTILE gets a fully deterministic total order (bucket, key).
+# --------------------------------------------------------------------------
+
+
+def q_rank_family(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 1000).cast("long")
+    w = W.partitionBy("o_orderpriority").orderBy(bucket.desc())
+    wt = W.partitionBy("o_orderpriority").orderBy(bucket.desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        bucket.alias("price_kbucket"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
+    )
+
+
+SQL_RANK_FAMILY = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kbucket,
+       CAST(rank() OVER (PARTITION BY o_orderpriority
+                         ORDER BY floor(o_totalprice / 1000) DESC) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+                         ORDER BY floor(o_totalprice / 1000) DESC) AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                         ORDER BY floor(o_totalprice / 1000) DESC, o_orderkey)
+            AS BIGINT) AS quartile
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 LAST_VALUE(x IGNORE NULLS) carry-forward window (reference:
+# baseline_clients_daily_v1.query.sql:185, 13 files) — per-user last
+# non-null click value as of each event.
+# --------------------------------------------------------------------------
+
+
+def q_last_ignore_nulls(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last(click_val, ignorenulls=True).over(w).alias("last_click_value"),
+    )
+
+
+SQL_LAST_IGNORE_NULLS = """
+SELECT user_id, event_id,
+       last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_click_value
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7 UNION DISTINCT (reference: 3 files; BigQuery `UNION DISTINCT`)
+# --------------------------------------------------------------------------
+
+
+def q_union_distinct(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.union(buys).distinct()
+
+
+SQL_UNION_DISTINCT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4 GLAM probe-counts pipeline: per-client histogram -> normalize (each
+# client sums to 1) -> aggregate across clients -> percentiles from the
+# cumulative distribution (reference bigquery_etl/glam/templates/
+# probe_counts_v1.sql, sql/mozfun/glam/histogram_normalized_sum +
+# glam/percentile). All arithmetic is exact integer (densities scaled by
+# 1e9 with integer division) so Spark and DuckDB agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+def q_glam_percentiles(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    bucket = F.expr("CAST(floor(value) AS BIGINT) div 50")
+    client = (
+        ev.select(F.col("event_type"), F.col("user_id"), bucket.alias("bucket"))
+        .groupBy("event_type", "user_id", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    wtot = W.partitionBy("event_type", "user_id")
+    client = client.withColumn("tot", F.sum("c").over(wtot)).withColumn(
+        "density", F.expr("(c * 1000000000) div tot")
+    )
+    agg = client.groupBy("event_type", "bucket").agg(
+        F.sum("density").alias("density")
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy("event_type")
+    agg = agg.withColumn("cum", F.sum("density").over(wcum)).withColumn(
+        "total", F.sum("density").over(wall)
+    )
+
+    def pct(p):
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.lit(p) * F.col("total"), F.col("bucket"))
+        ).alias(f"p{p}")
+
+    pcts = agg.groupBy("event_type").agg(pct(25), pct(50), pct(75), pct(95))
+    nclients = client.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_clients")
+    )
+    return pcts.join(nclients, "event_type").select(
+        "event_type", "n_clients", "p25", "p50", "p75", "p95"
+    )
+
+
+SQL_GLAM_PERCENTILES = """
+WITH client AS (
+  SELECT event_type, user_id, CAST(floor(value) AS BIGINT) // 50 AS bucket,
+         count(*) AS c
+  FROM events GROUP BY event_type, user_id, bucket),
+dens AS (
+  SELECT event_type, user_id, bucket,
+         (c * 1000000000) // sum(c) OVER (PARTITION BY event_type, user_id)
+           AS density
+  FROM client),
+agg AS (
+  SELECT event_type, bucket, sum(density) AS density
+  FROM dens GROUP BY event_type, bucket),
+cum AS (
+  SELECT event_type, bucket,
+         sum(density) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(density) OVER (PARTITION BY event_type) AS total
+  FROM agg),
+pcts AS (
+  SELECT event_type,
+         min(CASE WHEN cum * 100 >= 25 * total THEN bucket END) AS p25,
+         min(CASE WHEN cum * 100 >= 50 * total THEN bucket END) AS p50,
+         min(CASE WHEN cum * 100 >= 75 * total THEN bucket END) AS p75,
+         min(CASE WHEN cum * 100 >= 95 * total THEN bucket END) AS p95
+  FROM cum GROUP BY event_type),
+ncl AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_clients
+  FROM client GROUP BY event_type)
+SELECT p.event_type, n.n_clients, p.p25, p.p50, p.p75, p.p95
+FROM pcts p JOIN ncl n ON p.event_type = n.event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "join3_revenue": q_join3_revenue,
@@ -1098,6 +1307,11 @@ QUERIES = {
     "asof_attribution": q_asof_attribution,
     "sessionize": q_sessionize,
     "cube_pricing": q_cube_pricing,
+    "left_outer": q_left_outer,
+    "rank_family": q_rank_family,
+    "last_ignore_nulls": q_last_ignore_nulls,
+    "union_distinct": q_union_distinct,
+    "glam_percentiles": q_glam_percentiles,
     "approx_distinct": q_approx_distinct,  # rows-only (approximate op)
     "cdc_replay": q_cdc_replay,
 }
@@ -1136,6 +1350,11 @@ ORACLES = {
     "asof_attribution": SQL_ASOF,
     "sessionize": SQL_SESSIONIZE,
     "cube_pricing": SQL_CUBE,
+    "left_outer": SQL_LEFT_OUTER,
+    "rank_family": SQL_RANK_FAMILY,
+    "last_ignore_nulls": SQL_LAST_IGNORE_NULLS,
+    "union_distinct": SQL_UNION_DISTINCT,
+    "glam_percentiles": SQL_GLAM_PERCENTILES,
     # approx_distinct intentionally has no oracle (approximate result);
     # its exact bound is asserted in tests/test_queries_oracle.py
     "cdc_replay": SQL_CDC_REPLAY,
