@@ -110,6 +110,7 @@ class CDCEngine:
         min_shuffle_partitions: int = 8,
         max_shuffle_partitions: int = 4096,
         compact_files_per_bucket: int = 16,
+        broadcast_key_limit: int = 2_000_000,
     ):
         if storage_mode not in ("mor", "cow"):
             raise ValueError(f"unknown storage_mode {storage_mode!r}")
@@ -129,6 +130,11 @@ class CDCEngine:
         self.min_shuffle_partitions = min_shuffle_partitions
         self.max_shuffle_partitions = max_shuffle_partitions
         self.compact_files_per_bucket = compact_files_per_bucket
+        # CoW only: max distinct delta keys to broadcast into the survivors
+        # anti join. Above this, a forced broadcast would hit Spark's hard
+        # 8 GiB / 512M-row broadcast limits (or OOM the driver), so the
+        # merge drops the hint and lets the planner shuffle both sides.
+        self.broadcast_key_limit = broadcast_key_limit
 
     # ---------------- public API ----------------
 
@@ -229,7 +235,10 @@ class CDCEngine:
             return lww_dedup_salted(
                 slim, self.key, self.order, salt_n=self.salt_n, mode=self.dedup_mode
             )
-        return lww_dedup(slim, self.key, self.order, mode=self.dedup_mode)
+        return lww_dedup(
+            slim, self.key, self.order, mode=self.dedup_mode,
+            tie_cols=[self.op_col],
+        )
 
     def _apply_epoch_inner(self, epoch: int, events: DataFrame, t0: float) -> EpochStats:
         events_in = events.count() if self.count_input else -1
@@ -421,6 +430,9 @@ class CDCEngine:
         # payload-dedup subtree is computed exactly once per epoch.
         delta_keys = events.select(self.key).distinct()
         nb = self.table.num_buckets
+        # the probe already counted this epoch's distinct keys (one LWW
+        # winner per key) — gate the broadcast hint on it, no extra job
+        n_delta_keys = rows_upserted + rows_deleted
         merged = merge_delta_clustered(
             current,
             aligned,
@@ -430,6 +442,7 @@ class CDCEngine:
             op_col=self.op_col,
             payload_cols=state_cols,
             delta_keys=delta_keys,
+            broadcast_keys=n_delta_keys <= self.broadcast_key_limit,
         )
         # Shuffle-free write keeps state bytes in place but adds ~1 file
         # per bucket per epoch (survivor fragments); at the threshold,

@@ -123,6 +123,51 @@ def array_len_equals(arr_col: str, len_col: str, severity: str = FAIL) -> Check:
     )
 
 
+def row_count_within_past_partitions_avg(
+    table,
+    num_past: int = 7,
+    threshold_pct: float = 25.0,
+    severity: str = WARN,
+    raise_on_fail: bool = False,
+) -> CheckReport:
+    """The reference's ``row_count_within_past_partitions_avg`` macro
+    (``tests/checks/row_count_within_past_partitions_avg.jinja``): flag the
+    newest partition when its row volume drifts more than ``threshold_pct``
+    from the average of the ``num_past`` preceding partitions. Partitions
+    here are epochs; per-epoch applied-row counts come from the lineage
+    manifest (Parquet footer stats recorded at commit time), so this runs
+    ZERO Spark jobs — pure driver-side metadata, O(history) JSON."""
+    per_epoch: dict[int, int] = {}
+    for row in table.manifest_rows():
+        ep = row.get("epoch")
+        if ep is None:
+            continue
+        per_epoch[ep] = per_epoch.get(ep, 0) + int(row.get("rows_upserted") or 0) + int(
+            row.get("rows_deleted") or 0
+        )
+    epochs = sorted(per_epoch)
+    name = f"row_count_within_past_partitions_avg({num_past},{threshold_pct}%)"
+    if len(epochs) < num_past + 1:
+        report = CheckReport(
+            results=[{"name": name, "severity": severity, "violations": 0,
+                      "skipped": f"need {num_past + 1} epochs, have {len(epochs)}"}]
+        )
+        return report
+    cur = per_epoch[epochs[-1]]
+    past = [per_epoch[e] for e in epochs[-num_past - 1 : -1]]
+    avg = sum(past) / len(past)
+    drift_pct = abs(cur - avg) / avg * 100 if avg else (100.0 if cur else 0.0)
+    report = CheckReport(
+        results=[{"name": name, "severity": severity,
+                  "violations": int(drift_pct > threshold_pct),
+                  "current": cur, "past_avg": round(avg, 2),
+                  "drift_pct": round(drift_pct, 2)}]
+    )
+    if raise_on_fail and report.failed:
+        raise CheckFailure(f"failed checks: {report.failed}")
+    return report
+
+
 def run_checks(df: DataFrame, checks: list[Check], raise_on_fail: bool = True) -> CheckReport:
     """Evaluate every check in one aggregation pass."""
     row = df.agg(*[c.expr.alias(f"c{i}") for i, c in enumerate(checks)]).collect()[0]

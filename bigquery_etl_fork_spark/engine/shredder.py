@@ -64,18 +64,35 @@ def shred_keys(
     keys = keys.select(key_col).distinct()
 
     nb = table.num_buckets
+    n_keys = keys.count()
     affected = sorted(
         int(r["b"])
         for r in keys.select(bucket_id(F.col(key_col), nb).alias("b")).distinct().collect()
     )
+    # an explicit broadcast hint is only safe for key sets that fit Spark's
+    # hard broadcast limits; a mass-deletion run falls back to a planner-
+    # chosen (shuffled) anti join
+    if n_keys <= 2_000_000:
+        keys = F.broadcast(keys)
     rows_before = 0
     rows_after = 0
     buckets_rewritten = 0
+    delta_counts = table.delta_file_counts(affected)
     for i in range(0, len(affected), max_buckets_per_task):
         group = affected[i : i + max_buckets_per_task]
         current = table.read(group, key_col=key_col, order_col=order_col, op_col=op_col)
-        survivors = current.join(F.broadcast(keys), on=key_col, how="left_anti")
-        before = current.count()
+        survivors = current.join(keys, on=key_col, how="left_anti")
+        if all(delta_counts.get(b, 0) == 0 for b in group):
+            # compacted buckets: resolved row count == sum of Parquet footer
+            # rows — free accounting, no extra count job
+            pre = table.snapshot
+            before = sum(
+                f["rows"] for b in group for f in pre.buckets.get(str(b), [])
+            )
+        else:
+            # deltas present: footer rows include tombstones/duplicates, so
+            # count the resolved view (only path that pays a count job)
+            before = current.count()
         snap = table.overwrite_buckets(
             group,
             survivors,

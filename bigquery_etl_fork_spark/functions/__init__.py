@@ -119,6 +119,20 @@ def dedupe_array(arr: Column) -> Column:
     return F.array_distinct(arr)
 
 
+def event_code_points_to_string(code_points: Column) -> Column:
+    """Pack an array of Unicode code points into a string — the events_daily
+    sequence encoding (reference sql/moz-fx-data-shared-prod/udf/
+    event_code_points_to_string/udf.sql). Pure higher-order functions:
+    ``char()`` per element, joined JVM-side."""
+    return F.array_join(F.transform(code_points, F.char), "")
+
+
+def string_to_code_points(s: Column) -> Column:
+    """Inverse: string -> array of code points (reference udf/
+    event_code_points_from_string analog)."""
+    return F.transform(F.split(s, ""), lambda ch: F.ascii(ch))
+
+
 # ---------------- sampling / bucketing ----------------
 
 

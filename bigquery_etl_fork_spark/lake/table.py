@@ -77,6 +77,10 @@ class Snapshot:
     lineage: list[dict[str, Any]] = field(default_factory=list)  # this commit only
     parent_version: int | None = None
     committed_at: float = 0.0
+    # what kind of commit produced this snapshot: "delta" (MoR append),
+    # "overwrite", "compact", "promote", "schema". "" on snapshots written
+    # before the field existed (treated permissively by changes()).
+    commit_op: str = ""
 
     @property
     def schema(self) -> T.StructType:
@@ -94,6 +98,7 @@ class Snapshot:
                 "lineage": self.lineage,
                 "parent_version": self.parent_version,
                 "committed_at": self.committed_at,
+                "commit_op": self.commit_op,
             }
         )
 
@@ -119,9 +124,20 @@ class LakeTable:
         spark: SparkSession,
         root: str,
         schema: T.StructType,
-        num_buckets: int = 32,
+        num_buckets: int | None = 32,
         properties: dict[str, Any] | None = None,
     ) -> "LakeTable":
+        """``num_buckets=None`` auto-sizes to 4× the cluster's default
+        parallelism (min 64, rounded up to a power of two). Buckets bound
+        the write-path task count (the bucket-clustered dedup repartitions
+        on the bucket column), so a bucket count below the executor-core
+        count would idle the rest of the cluster; 4× leaves headroom for
+        the cluster to grow without rebucketing."""
+        if num_buckets is None:
+            par = spark.sparkContext.defaultParallelism
+            num_buckets = 64
+            while num_buckets < 4 * par:
+                num_buckets *= 2
         os.makedirs(os.path.join(root, _SNAP_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
         snap = Snapshot(
@@ -235,6 +251,16 @@ class LakeTable:
             finally:
                 self._snapshot = prev
         snap = self._snapshot
+        if buckets is None and snap.properties.get("require_partition_filter"):
+            # the reference enforces this in table DDL
+            # (bigquery_etl/metadata/parse_metadata.py:61-76): full scans of
+            # a partition-filter-required table are a bug, not a query
+            raise ValueError(
+                "this table requires a bucket filter on read "
+                "(require_partition_filter=true); pass an explicit bucket "
+                "list, or read(list(range(num_buckets))) to scan everything "
+                "deliberately"
+            )
         target = snap.schema
         base = self._read_files(self._sid_paths(self._entries(buckets, "base")), target)
         delta_entries = self._entries(buckets, "delta")
@@ -410,6 +436,7 @@ class LakeTable:
         lineage: list[dict[str, Any]] | None,
         new_kind: str = "base",
         aux_schema: T.StructType | None = None,
+        commit_op: str = "overwrite",
     ) -> Snapshot:
         prev = self._snapshot
         schemas = dict(prev.schemas)
@@ -450,6 +477,7 @@ class LakeTable:
             lineage=list(lineage or []),
             parent_version=prev.version,
             committed_at=time.time(),
+            commit_op=commit_op,
         )
         self._write_snapshot(self.root, snap)
         self._snapshot = snap
@@ -482,6 +510,7 @@ class LakeTable:
         properties_update: dict[str, Any] | None = None,
         lineage: list[dict[str, Any]] | None = None,
         pre_clustered: bool = False,
+        commit_op: str = "overwrite",
     ) -> Snapshot:
         """Atomically replace the given buckets with df's rows (which must all
         belong to those buckets). The engine's MERGE commit primitive."""
@@ -501,6 +530,7 @@ class LakeTable:
             schema=schema,
             properties_update=properties_update,
             lineage=lineage,
+            commit_op=commit_op,
         )
 
     def stage_delta(
@@ -563,6 +593,7 @@ class LakeTable:
             lineage=lineage,
             new_kind="delta",
             aux_schema=staged["aux_schema"],
+            commit_op="delta",
         )
 
     def append_delta(
@@ -599,14 +630,14 @@ class LakeTable:
         Iceberg rewrite_data_files analog): resolve merge-on-read state, then
         atomically replace those buckets with clustered base files."""
         resolved = self.read(buckets, key_col=key_col, order_col=order_col, op_col=op_col)
-        return self.overwrite_buckets(buckets, resolved, key_col=key_col)
+        return self.overwrite_buckets(buckets, resolved, key_col=key_col, commit_op="compact")
 
     def evolve_schema(self, new_schema: T.StructType) -> Snapshot:
         """Metadata-only commit applying an additive/widening schema change
         (≈ Iceberg ALTER TABLE ADD COLUMN / ALTER COLUMN TYPE; reference
         ``deploy.py:124-153`` in-place schema update)."""
         merged = merge_schemas(self.schema, new_schema)
-        return self._commit({}, None, merged, None, None)
+        return self._commit({}, None, merged, None, None, commit_op="schema")
 
     # ---------------- change feed (CDC out) ----------------
 
@@ -622,13 +653,19 @@ class LakeTable:
         changelog-view analog, so downstream consumers can ingest this table
         incrementally instead of re-scanning it.
 
-        Implementation: LWW-resolve the delta files ADDED in the version
-        range (cheap — O(changes), no state diff); a key's winner with
-        op='D' is a delete record, otherwise an upsert. Compaction/promote
-        commits add no delta files and therefore (correctly) emit nothing.
-        Requires the range's snapshots to still be on disk (expire_snapshots
-        drops them) and the range to contain only delta commits for
-        completeness — the engine's MoR mode guarantees that.
+        Implementation: walk every snapshot in the range and LWW-resolve the
+        delta files each version ADDED over its parent (cheap — O(changes),
+        no state diff); a key's winner with op='D' is a delete record,
+        otherwise an upsert. The per-version walk is what makes the feed
+        complete even when a compaction inside the range removed delta files
+        from later snapshots: the historical snapshot that added them still
+        lists them, and ``vacuum()`` never deletes files referenced by a
+        snapshot still on disk. Compaction/schema commits change no rows and
+        contribute nothing; an ``overwrite``/``promote`` commit in the range
+        rewrites state out-of-band of the log, so it cannot be represented
+        as row changes — raises ValueError rather than emitting a silently
+        incomplete feed. Requires the range's snapshots to still be on disk
+        (``expire_snapshots`` drops them → FileNotFoundError).
         """
         if to_version is None:
             to_version = self._snapshot.version
@@ -636,18 +673,28 @@ class LakeTable:
             key_col = self._snapshot.properties.get("key_col")
         if key_col is None:
             raise ValueError("key_col required to resolve the change feed")
-        old = {
+        prev_paths = {
             f["path"]
             for files in self.snapshot_at(from_version).buckets.values()
             for f in files
         }
         new_snap = self.snapshot_at(to_version)
-        added = [
-            f
-            for files in new_snap.buckets.values()
-            for f in files
-            if f.get("kind", "base") == "delta" and f["path"] not in old
-        ]
+        added: list[dict[str, Any]] = []
+        for v in range(from_version + 1, to_version + 1):
+            snap_v = new_snap if v == to_version else self.snapshot_at(v)
+            if snap_v.commit_op in ("overwrite", "promote"):
+                raise ValueError(
+                    f"change feed over ({from_version}, {to_version}] is not "
+                    f"derivable: version {v} is a '{snap_v.commit_op}' commit "
+                    "(state rewritten outside the delta log)"
+                )
+            cur_paths: set[str] = set()
+            for files in snap_v.buckets.values():
+                for f in files:
+                    cur_paths.add(f["path"])
+                    if f.get("kind", "base") == "delta" and f["path"] not in prev_paths:
+                        added.append(f)
+            prev_paths = cur_paths
         target = T.StructType.fromJson(json.loads(new_snap.schemas[str(new_snap.schema_id)]))
         target_plus = T.StructType(
             list(target.fields) + [T.StructField(order_col, T.LongType())]
@@ -721,26 +768,49 @@ class LakeTable:
         return LakeTable(self.spark, new_root)
 
     def promote_from(self, staging: "LakeTable") -> Snapshot:
-        """Atomically adopt a staging table's current state (zero-copy: the
-        new snapshot references the staging files). Analog of the
+        """Atomically adopt a staging table's current state. Analog of the
         reference's copy-backfill-staging-to-prod step
         (``cli/backfill.py:894-987``), as one snapshot swap instead of a
-        partition-by-partition copy. Keep the staging directory alive until
-        the next compaction rewrites its files into this table's data dir."""
+        partition-by-partition copy. Staging data files are hard-linked
+        (copy fallback across filesystems) into THIS table's data dir, so
+        the staging directory can be deleted immediately after promote and
+        ``vacuum()`` owns every referenced byte — no snapshot ever points
+        outside the table root."""
         src = staging.snapshot
         if src.num_buckets != self.num_buckets:
             raise ValueError("bucket count mismatch between staging and prod")
+        commit_id = f"promote-{uuid.uuid4().hex}"
+        dest_dir = os.path.join(self.root, _DATA_DIR, commit_id)
+        os.makedirs(dest_dir, exist_ok=True)
+        adopted: dict[str, list[dict[str, Any]]] = {}
+        n = 0
+        for b, files in src.buckets.items():
+            out = []
+            for f in files:
+                sp = f["path"]
+                if not os.path.isabs(sp):
+                    sp = os.path.join(staging.root, sp)
+                rel = os.path.join(_DATA_DIR, commit_id, f"f{n:06d}.parquet")
+                n += 1
+                dst = os.path.join(self.root, rel)
+                try:
+                    os.link(sp, dst)
+                except OSError:
+                    shutil.copy2(sp, dst)
+                out.append({**f, "path": rel})
+            adopted[b] = out
         prev = self._snapshot
         snap = Snapshot(
             version=prev.version + 1,
             schema_id=src.schema_id,
             schemas=dict(src.schemas),
             num_buckets=src.num_buckets,
-            buckets=staging._absolutized_buckets(src),
+            buckets=adopted,
             properties={**prev.properties, **src.properties},
             lineage=[{"op": "promote", "from": staging.root, "committed_at": time.time()}],
             parent_version=prev.version,
             committed_at=time.time(),
+            commit_op="promote",
         )
         self._write_snapshot(self.root, snap)
         self._snapshot = snap

@@ -1,18 +1,30 @@
 """As-of join: for each left row, the latest right row at or before it.
 
 The reference approximates this with join + QUALIFY ROW_NUMBER()=1
-(``mozilla_org_derived/ga_sessions_v2/script.sql:63-81``); SURVEY.md §2.3
-maps the true ordered variant to ``pd.merge_asof`` inside a cogrouped
-``applyInPandas`` — Arrow-batched, one shuffle per side on the key, sorted
-merge within each key group. Semantics match DuckDB's ``ASOF JOIN``
-(oracle-checked in queries.py): greatest right.ts <= left.ts, exact matches
-allowed, unmatched left rows kept with nulls.
+(``mozilla_org_derived/ga_sessions_v2/script.sql:63-81``); semantics here
+match DuckDB's ``ASOF JOIN`` (oracle-checked in queries.py): greatest
+right.ts <= left.ts, exact matches allowed, unmatched left rows kept with
+nulls.
+
+Two physical strategies, equality-tested against each other:
+
+- ``jvm`` (default) — union the tagged left and right rows, then carry each
+  right column forward with ``last(col, ignorenulls=True)`` over
+  ``Window.partitionBy(key).orderBy(ts, tag)`` and keep the left rows. One
+  shuffle, pure Catalyst window — no Python in the hot path, whole-stage
+  codegen end to end. At equal timestamps the right row sorts first
+  (tag 0 < 1), which is exactly "exact matches allowed".
+- ``pandas`` — cogrouped ``applyInPandas`` running ``pd.merge_asof`` per key
+  group (Arrow-batched; SURVEY.md §2.3's mapping). Kept as a mode because
+  the kernel shape generalizes to tolerance/nearest variants Spark windows
+  can't express.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
 
 
 def asof_join(
@@ -22,10 +34,68 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    mode: str = "jvm",
 ) -> DataFrame:
     """Left as-of join on ``key``: attach the right row with the greatest
     ``right_ts`` <= ``left_ts``. Right side must be unique per (key, ts)
     (pre-dedup if needed) for deterministic results."""
+    if mode == "jvm":
+        return _asof_jvm(left, right, key, left_ts, right_ts, right_cols)
+    if mode == "pandas":
+        return _asof_pandas(left, right, key, left_ts, right_ts, right_cols)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def _asof_jvm(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    l_types = {f.name: f.dataType for f in left.schema.fields}
+    r_types = {f.name: f.dataType for f in right.schema.fields}
+    l_cols = list(left.columns)
+    tagged_left = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        *[F.col(c) for c in l_cols],
+        *[F.lit(None).cast(r_types[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    tagged_right = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in l_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    u = tagged_left.unionByName(tagged_right)
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_ts", "_tag")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
+        for c in right_cols
+    ]
+    return (
+        u.select("_tag", *l_cols, *carried)
+        .where(F.col("_tag") == 1)
+        .select(*l_cols, *[F.col(f"_r_{c}").alias(c) for c in right_cols])
+    )
+
+
+def _asof_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
     out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
     right_schema = {f.name: f.dataType.simpleString() for f in right.schema.fields}
     out_fields += [f"{c} {right_schema[c]}" for c in right_cols]

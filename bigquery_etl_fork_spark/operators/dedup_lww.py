@@ -51,14 +51,22 @@ def lww_dedup(
     order: str = "lsn",
     mode: str = "jvm",
     num_partitions: int | None = None,
+    tie_cols: list[str] | None = None,
 ) -> DataFrame:
-    """One row per key: the row with max ``order``; dup (key, order) collapse."""
+    """One row per key: the row with max ``order``; dup (key, order) collapse.
+
+    ``tie_cols`` (pandas modes only): deterministic tie-break for rows that
+    share the max ``order`` — the max over these columns wins, mirroring the
+    jvm mode's struct comparison where the first payload column (``op`` in
+    the engine: 'U' > 'D') decides. The jvm mode already compares the whole
+    payload struct and ignores this parameter.
+    """
     if mode == "jvm":
         return _lww_jvm(df, key, order)
     if mode == "grouped":
-        return _lww_grouped(df, key, order, num_partitions)
+        return _lww_grouped(df, key, order, num_partitions, tie_cols)
     if mode == "partition":
-        return _lww_partition(df, key, order, num_partitions)
+        return _lww_partition(df, key, order, num_partitions, tie_cols)
     raise ValueError(f"unknown mode {mode!r}")
 
 
@@ -72,21 +80,40 @@ def _lww_jvm(df: DataFrame, key: str, order: str) -> DataFrame:
     return out.select(key, *[F.col(f"_w.{c}").alias(c) for c in [order] + payload])
 
 
-def _lww_grouped(df: DataFrame, key: str, order: str, num_partitions: int | None) -> DataFrame:
+def _lww_grouped(
+    df: DataFrame,
+    key: str,
+    order: str,
+    num_partitions: int | None,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
     cols = df.columns
     oi = cols.index(order)
+    ties = list(tie_cols or [])
 
     def pick_last(pdf: pd.DataFrame) -> pd.DataFrame:
-        # vectorized winner selection; stable for duplicate lsn (equal rows)
-        return pdf.iloc[[pdf.iloc[:, oi].to_numpy().argmax()]]
+        # vectorized winner selection; equal-lsn rows resolve via tie_cols
+        arr = pdf.iloc[:, oi].to_numpy()
+        mx = arr.max()
+        cand = pdf[arr == mx]
+        if len(cand) > 1 and ties:
+            cand = cand.sort_values(ties, kind="stable")
+        return cand.iloc[[-1]]
 
     shuffled = df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
     return shuffled.groupBy(key).applyInPandas(pick_last, schema=df.schema)
 
 
-def _lww_partition(df: DataFrame, key: str, order: str, num_partitions: int | None) -> DataFrame:
+def _lww_partition(
+    df: DataFrame,
+    key: str,
+    order: str,
+    num_partitions: int | None,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
     schema = df.schema
     key_name, order_name = key, order
+    ties = list(tie_cols or [])
 
     def dedup_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Rows arrive clustered by key and ascending order within key
@@ -105,12 +132,12 @@ def _lww_partition(df: DataFrame, key: str, order: str, num_partitions: int | No
             if len(head):
                 yield head.drop_duplicates(subset=[key_name], keep="last")
         if carry is not None and len(carry):
-            yield carry.sort_values(order_name, kind="stable").drop_duplicates(
+            yield carry.sort_values([order_name] + ties, kind="stable").drop_duplicates(
                 subset=[key_name], keep="last"
             )
 
     shuffled = df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
-    sorted_df = shuffled.sortWithinPartitions(key, order)
+    sorted_df = shuffled.sortWithinPartitions(key, order, *ties)
     return sorted_df.mapInPandas(dedup_stream, schema=schema)
 
 
@@ -125,23 +152,31 @@ def lww_dedup_bucket_clustered(
     """Single-shuffle LWW dedup whose output is ALSO clustered by bucket.
 
     Because bucket = f(key), repartitioning on the bucket column co-locates
-    every key's rows; after sortWithinPartitions(bucket, key, order) a
-    window PARTITION BY bucket ORDER BY (key, order) is satisfied by the
-    existing distribution+sort, so Catalyst inserts NO extra exchange: the
-    winner of each key run is the row whose successor has a different key.
-    One shuffle total — and the result can be written partitionBy(bucket)
-    with no further movement. The MoR write path's fast dedup.
+    every key's rows; after sortWithinPartitions(bucket, key, order, payload)
+    a window PARTITION BY bucket ORDER BY (key, order, payload) is satisfied
+    by the existing distribution+sort, so Catalyst inserts NO extra exchange:
+    the winner of each key run is the row whose successor has a different
+    key. One shuffle total — and the result can be written
+    partitionBy(bucket) with no further movement. The MoR write path's fast
+    dedup.
+
+    Payload columns participate in the sort so equal-(key, order) rows
+    resolve by the SAME struct comparison as the jvm/salted kernels and
+    LakeTable.read's MoR resolution (op 'U' beats 'D', then payload) — all
+    strategies are bit-identical even on a corrupt log with same-LSN
+    conflicting ops.
     """
     from pyspark.sql import Window as W
 
     out = df.withColumn(bucket_col, bucket_expr(F.col(key)))
+    payload = [c for c in out.columns if c not in (key, order, bucket_col)]
     shuffled = (
         out.repartition(num_partitions, bucket_col)
         if num_partitions
         else out.repartition(bucket_col)
     )
-    sorted_df = shuffled.sortWithinPartitions(bucket_col, key, order)
-    w = W.partitionBy(bucket_col).orderBy(key, order)
+    sorted_df = shuffled.sortWithinPartitions(bucket_col, key, order, *payload)
+    w = W.partitionBy(bucket_col).orderBy(key, order, *payload)
     nxt = F.lead(key).over(w)
     return (
         sorted_df.withColumn("_is_winner", nxt.isNull() | (nxt != F.col(key)))

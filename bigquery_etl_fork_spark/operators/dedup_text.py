@@ -123,9 +123,27 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.1,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle."""
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    ``max_df`` caps shingle document frequency BEFORE the self-join: a
+    shingle appearing in k docs produces k(k-1)/2 candidate pairs, so one
+    boilerplate shingle shared by 10^6 docs would explode quadratically at
+    corpus scale. Dropping shingles with df > max_df bounds any shingle's
+    pair fan-out at max_df²/2; Jaccard is then computed over the surviving
+    (informative) shingle set on both the intersection AND size sides, so
+    the result is an exact Jaccard over that set (the standard stop-shingle
+    treatment, mirrored in the DuckDB oracle)."""
     sh = shingled(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

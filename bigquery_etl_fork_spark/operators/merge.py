@@ -10,12 +10,15 @@ The DataFrame re-expression of the reference's two apply primitives:
 
 Spark-first shape: ``new_state = (current LEFT ANTI JOIN delta_keys) UNION
 upserts``. The anti join's build side is the *delta key set* — per epoch this
-is small relative to table state, so Catalyst broadcasts it and the big
-current-state side is NEVER shuffled. At 10^10-event scale with bucket
-pruning, an epoch's merge cost is: scan affected buckets + broadcast-anti +
-one bucket-clustering shuffle of the merged output. AQE falls back to a
-sort-merge anti join automatically if a delta exceeds the broadcast
-threshold.
+is usually small relative to table state, so broadcasting it keeps the big
+current-state side un-shuffled. The broadcast hint is GATED by the caller
+(``broadcast_keys``): an explicit ``F.broadcast()`` forces BroadcastHashJoin
+regardless of size (Spark's 8 GiB / 512M-row broadcast limits would fail a
+huge delta, or OOM the driver first), so the engine passes
+``broadcast_keys=False`` above its key-count threshold and lets the planner
+pick a shuffled join instead. At 10^10-event scale with bucket pruning, an
+epoch's merge cost is: scan affected buckets + anti join + one
+bucket-clustering shuffle of the merged output.
 """
 
 from __future__ import annotations
@@ -72,17 +75,21 @@ def merge_delta_clustered(
     op_col: str = "op",
     payload_cols: list[str] | None = None,
     delta_keys: DataFrame | None = None,
+    broadcast_keys: bool = True,
 ) -> DataFrame:
     """merge_delta variant whose output is bucket-clustered WITHOUT shuffling
     the current-state side.
 
     - survivors keep the partitioning of the state scan (per-bucket files →
-      per-bucket tasks): broadcast anti join + a per-row bucket expression,
-      zero shuffle of state bytes;
+      per-bucket tasks): anti join (broadcast when ``broadcast_keys``) + a
+      per-row bucket expression, zero shuffle of state bytes;
     - only the (small) upsert delta is repartitioned on the bucket column.
 
     At 10^10-event scale this is the difference between shuffling the whole
-    affected table state every epoch and shuffling just the delta.
+    affected table state every epoch and shuffling just the delta. For an
+    epoch whose distinct key set is too big to broadcast, pass
+    ``broadcast_keys=False``: the planner shuffles both sides on the key
+    (sort-merge/shuffled-hash anti), which is the correct plan there.
     """
     if payload_cols is None:
         payload_cols = list(current.columns)
@@ -90,8 +97,10 @@ def merge_delta_clustered(
         delta_keys = deduped_delta.select(key)
     else:
         delta_keys = delta_keys.select(key).distinct()
+    if broadcast_keys:
+        delta_keys = F.broadcast(delta_keys)
     survivors = (
-        current.join(F.broadcast(delta_keys), on=key, how="left_anti")
+        current.join(delta_keys, on=key, how="left_anti")
         .select(*payload_cols)
         .withColumn(bucket_col, bucket_expr(F.col(key)))
     )

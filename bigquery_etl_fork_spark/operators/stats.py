@@ -84,7 +84,10 @@ def bootstrap_percentile_ci(
 
     def boot(key, pdf):
         vals = pdf[value_col].to_numpy(dtype=float)
-        gseed = (seed + hash(tuple(str(k) for k in key))) % (2**32)
+        # crc32, not Python hash(): str hashing is PYTHONHASHSEED-randomized
+        # per interpreter, which would break cross-session determinism
+        key_bytes = "\x1f".join(str(k) for k in key).encode("utf-8")
+        gseed = (seed + zlib.crc32(key_bytes)) % (2**32)
         rng = np.random.default_rng(gseed)
         idx = rng.integers(0, len(vals), size=(n_boot, len(vals)))
         stats = np.quantile(vals[idx], percentile, axis=1)

@@ -519,17 +519,19 @@ def q_ngram_jaccard(spark, sf_dir):
     from .operators.dedup_text import ngram_jaccard_pairs
 
     d = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1, max_df=100)
 
 
 SQL_NGRAM_JACCARD = (
     "WITH "
     + _sql_shingles(3)
     + """,
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        round(i / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) AS jaccard
@@ -866,8 +868,9 @@ FROM b
 
 
 def q_asof_attribution(spark, sf_dir):
-    """True as-of join (cogrouped merge_asof): each purchase attributed to
-    the user's most recent prior (or simultaneous) click."""
+    """True as-of join (JVM union-tag + last-ignore-nulls window): each
+    purchase attributed to the user's most recent prior (or simultaneous)
+    click."""
     from .operators.asof import asof_join
 
     ev = load(spark, sf_dir, "events")

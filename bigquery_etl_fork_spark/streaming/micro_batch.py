@@ -24,20 +24,31 @@ import os
 import re
 import time
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 from ..engine.cdc import WATERMARK_PROP, CDCEngine, ReplayStats
 
 _EPOCH_DIR = re.compile(r"^epoch=(\d+)$")
 
 
-def discover_epochs(log_dir: str) -> list[int]:
-    """Epoch partition ids present on disk (hive-style ``epoch=N`` dirs)."""
+def discover_epochs(log_dir: str, complete_marker: str | None = None) -> list[int]:
+    """Epoch partition ids present on disk (hive-style ``epoch=N`` dirs).
+
+    ``complete_marker``: only report epochs whose directory contains the
+    marker file (e.g. ``_SUCCESS``) — the epoch-complete convention for
+    producers that write an epoch directory non-atomically. Without a
+    marker, a tailer that reads an epoch mid-write would fence it at the
+    watermark and skip the remainder forever."""
     out = []
     for entry in os.listdir(log_dir):
         m = _EPOCH_DIR.match(entry)
-        if m:
-            out.append(int(m.group(1)))
+        if not m:
+            continue
+        if complete_marker is not None and not os.path.exists(
+            os.path.join(log_dir, entry, complete_marker)
+        ):
+            continue
+        out.append(int(m.group(1)))
     return sorted(out)
 
 
@@ -47,17 +58,20 @@ def tail_changelog(
     poll_interval_s: float = 5.0,
     max_polls: int | None = None,
     stop_at_epoch: int | None = None,
+    complete_marker: str | None = None,
 ) -> ReplayStats:
     """Tail a growing change-log directory: apply any epoch above the
     committed watermark, in order; poll for new ones. Returns when
     ``stop_at_epoch`` is reached or ``max_polls`` polls found nothing new
-    (None = tail forever)."""
+    (None = tail forever). Pass ``complete_marker`` (e.g. ``"_SUCCESS"``)
+    when the producer writes epoch directories non-atomically, so an epoch
+    is only applied — and fenced — once its marker says it's complete."""
     spark = engine.spark
     stats = ReplayStats()
     idle_polls = 0
     while True:
         watermark = engine.table.snapshot.properties.get(WATERMARK_PROP, -1)
-        pending = [e for e in discover_epochs(log_dir) if e > watermark]
+        pending = [e for e in discover_epochs(log_dir, complete_marker) if e > watermark]
         if pending:
             idle_polls = 0
             for e in pending:
@@ -77,10 +91,23 @@ def stream_changelog(
     log_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    complete_marker: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Structured Streaming variant: file-source ``readStream`` over the log
     directory, ``foreachBatch`` applying each contained epoch in order.
-    Returns the StreamingQuery (caller awaits termination)."""
+    Returns the StreamingQuery (caller awaits termination).
+
+    Exactly-once shape: the micro-batch's rows are used only as a SIGNAL of
+    which epochs have (new) files; each signaled epoch above the watermark
+    is applied by reading its FULL ``epoch=N`` directory from the log, then
+    fenced. This stays correct when an epoch's files span micro-batches
+    (``maxFilesPerTrigger``, continuous mode): the first batch that signals
+    the epoch applies the whole directory, and later batches carrying the
+    remaining files are fenced as already applied. The remaining race — a
+    producer still WRITING the epoch directory at apply time — is closed by
+    ``complete_marker``: unmarked epochs are deferred until a later batch
+    signals them again after the marker lands."""
     spark = engine.spark
     schema = spark.read.parquet(log_dir).schema
 
@@ -93,13 +120,18 @@ def stream_changelog(
         for e in epochs:
             if e <= watermark:
                 continue  # idempotent re-delivery of an applied epoch
-            engine.apply_epoch(e, batch.where(F.col(engine.epoch_col) == F.lit(e)))
+            epoch_dir = os.path.join(log_dir, f"epoch={e}")
+            if complete_marker is not None and not os.path.exists(
+                os.path.join(epoch_dir, complete_marker)
+            ):
+                continue  # producer mid-write; a later batch re-signals it
+            # apply the complete on-disk epoch, NOT the batch slice
+            engine.apply_epoch(e, spark.read.parquet(epoch_dir))
 
-    reader = (
-        spark.readStream.schema(schema)
-        .option("basePath", log_dir)
-        .parquet(log_dir + "/epoch=*")
-    )
+    builder = spark.readStream.schema(schema).option("basePath", log_dir)
+    if max_files_per_trigger is not None:
+        builder = builder.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = builder.parquet(log_dir + "/epoch=*")
     writer = reader.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -50,7 +50,14 @@ def main() -> None:
         table = LakeTable(spark, args.table)
     else:
         table = LakeTable.create(spark, args.table, base.schema, num_buckets=args.num_buckets)
-        table.overwrite_all(base, key_col=args.key)
+    # base_loaded is recorded atomically WITH the base-load commit: a crash
+    # between create() and here leaves a valid-but-empty table, and this
+    # re-run redoes the base load instead of replaying onto nothing. Once
+    # any epoch watermark exists the log is already layered on top, so the
+    # base must not be rewritten.
+    props = table.snapshot.properties
+    if not props.get("base_loaded") and props.get("epoch_watermark") is None:
+        table.overwrite_all(base, key_col=args.key, properties_update={"base_loaded": True})
 
     eng = CDCEngine(
         spark,

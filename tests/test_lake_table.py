@@ -182,5 +182,7 @@ def test_change_feed_between_versions(spark, tmp_path, table):
         truth = last.loc[r["doc_id"]]
         assert r["lsn"] == truth["lsn"]
         assert (r["op"] == "D") == (truth["op"] == "D")
-    # a range containing only the initial load emits nothing
-    assert t.changes(0, v0).count() == 0
+    # a range containing the initial load is NOT derivable as row changes
+    # (overwrite rewrites state outside the delta log) — loud, not silent
+    with pytest.raises(ValueError, match="overwrite"):
+        t.changes(0, v0)
