@@ -43,11 +43,17 @@ def _sf() -> float:
 
 def _cdc_paths(sf: float, n_epochs: int = 8) -> dict[str, str]:
     """Generate (once, cached by params) the deterministic CDC workload:
-    base table + change log sized proportionally to sf."""
-    n_docs = max(2000, int(200_000 * sf))
-    n_events = max(50_000, int(20_000_000 * sf))
+    base table + change log sized proportionally to sf. Env overrides
+    (SPARK_GRAFT_BENCH_EVENTS/DOCS/TOKLEN) let the scaling harness run a
+    bigger-than-sf workload without faking a testdata directory."""
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", max(2000, int(200_000 * sf))))
+    n_events = int(
+        os.environ.get("SPARK_GRAFT_BENCH_EVENTS", max(50_000, int(20_000_000 * sf)))
+    )
     # fixture-faithful token payloads (FIXTURES.md: length 1-2048); avg ~528
-    min_len, max_len = 32, 1024
+    min_len, max_len = (
+        int(x) for x in os.environ.get("SPARK_GRAFT_BENCH_TOKLEN", "32,1024").split(",")
+    )
     cache = os.path.join(
         tempfile.gettempdir(),
         f"cdc_bench_{n_docs}_{n_events}_{n_epochs}_{min_len}_{max_len}_s42",
@@ -129,7 +135,20 @@ def main() -> None:
 
     cdc_only = "--cdc-only" in sys.argv
     dedup_mode = os.environ.get("SPARK_GRAFT_DEDUP_MODE", "jvm")
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+    # SPARK_GRAFT_MASTER overrides for multi-JVM runs, e.g.
+    # local-cluster[8,4,4096] (8 executor JVMs x 4 cores — the in-sandbox
+    # stand-in for a real multi-executor cluster)
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master:
+        extra = {}
+        if master.startswith("local-cluster"):
+            extra = {
+                "spark.executor.memory": os.environ.get("SPARK_GRAFT_EXEC_MEM", "3g"),
+                "spark.memory.offHeap.size": os.environ.get("SPARK_GRAFT_OFFHEAP", "1g"),
+            }
+        spark = get_spark("bench", master=master, extra_conf=extra)
+    else:
+        spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
     sf = _sf()
     # warm up JVM/codegen so timings measure the engine, not startup
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -141,14 +160,22 @@ def main() -> None:
         return
     bulk = run_cdc(spark, sf, dedup_mode=dedup_mode, n_epochs=1, repeat=1)
 
+    # min-of-N per query: the sandbox host's external load causes 2-10x
+    # one-off spikes (a cube query once measured 10.4s vs its true ~1s);
+    # the minimum is the engine's number
+    repeat_q = int(os.environ.get("SPARK_GRAFT_QUERY_REPEAT", "2"))
     qsecs: dict[str, float] = {"cdc_replay": cdc["seconds"]}
     for name, fn in QUERIES.items():
         if name == "cdc_replay":
             continue
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        qsecs[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeat_q):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        qsecs[name] = round(best, 3)
 
     out = {
         "metric": "cdc_events_applied_per_sec",
@@ -164,26 +191,47 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Run the same CDC replay at two parallelism levels (default local[8]
-    vs local[32]) in separate fresh processes — the in-sandbox evidence for
-    the N→4N executor scaling criterion.
+    """Run the same CDC replay at two parallelism levels in separate fresh
+    processes — the in-sandbox evidence for the N→4N executor scaling
+    criterion.
+
+    Modes (SPARK_GRAFT_SCALING_MODE):
+      - "cluster" (default): levels are EXECUTOR counts; each level runs
+        under ``local-cluster[N,4,4096]`` — N separate executor JVMs with
+        4 cores each, the closest in-sandbox stand-in for a real
+        multi-executor cluster (no shared heap / GC between executors).
+        2,8 ⇒ the N→4N pair (8 vs 32 cores).
+      - "local": levels are thread counts of a single local[N] JVM.
 
     The sandbox host carries noisy external load (observed 2× swings on
     identical runs), so each level runs `SPARK_GRAFT_SCALING_REPEATS` times
     in ALTERNATING order and the per-level minimum is reported.
     """
-    levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")]
+    mode = os.environ.get("SPARK_GRAFT_SCALING_MODE", "cluster")
+    default_levels = "2,8" if mode == "cluster" else "8,32"
+    levels = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", default_levels).split(",")
+    ]
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    cores_per_exec = int(os.environ.get("SPARK_GRAFT_CORES_PER_EXEC", "4"))
     runs: dict[int, list[float]] = {lv: [] for lv in levels}
     details: dict[int, dict] = {}
     for _ in range(repeats):
-        for cpus in levels:
+        for lv in levels:
+            # >=2 in-process runs per child: the first replay in a fresh JVM
+            # pays C2-compile warmup that would otherwise masquerade as
+            # engine time (flattering neither level, but distorting ratios)
             env = dict(
                 os.environ,
-                SPARK_GRAFT_CPUS=str(cpus),
                 SPARK_GRAFT_SF_DIR=SF_DIR,
-                SPARK_GRAFT_BENCH_REPEAT="1",
+                SPARK_GRAFT_BENCH_REPEAT=os.environ.get("SPARK_GRAFT_SCALING_INNER", "2"),
             )
+            if mode == "cluster":
+                env["SPARK_GRAFT_MASTER"] = f"local-cluster[{lv},{cores_per_exec},4096]"
+                env["SPARK_GRAFT_CPUS"] = str(lv * cores_per_exec)
+            else:
+                env["SPARK_GRAFT_CPUS"] = str(lv)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--cdc-only"],
                 env=env,
@@ -193,18 +241,21 @@ def scaling() -> None:
             )
             line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
             cdc = json.loads(line)["cdc"]
-            runs[cpus].append(cdc["seconds"])
-            details[cpus] = cdc
+            runs[lv].append(cdc["seconds"])
+            details[lv] = cdc
     lo, hi = levels[0], levels[-1]
     best = {lv: min(rs) for lv, rs in runs.items()}
     events = details[hi]["events"]
     tp = {lv: round(events / best[lv], 1) for lv in levels}
     eff = (tp[hi] / tp[lo]) / (hi / lo)
+    unit = "executors" if mode == "cluster" else "cores"
     report = {
-        "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_{unit}",
         "value": round(eff, 3),
-        f"throughput_local{lo}": tp[lo],
-        f"throughput_local{hi}": tp[hi],
+        "mode": mode,
+        f"throughput_{lo}{unit}": tp[lo],
+        f"throughput_{hi}{unit}": tp[hi],
+        "cores_per_executor": cores_per_exec if mode == "cluster" else None,
         "all_runs_sec": {str(k): v for k, v in runs.items()},
         "events": events,
         "sf": _sf(),

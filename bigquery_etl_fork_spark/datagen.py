@@ -35,10 +35,18 @@ def _doc_ids(idx: np.ndarray) -> np.ndarray:
     return np.char.add("doc-", np.char.zfill(idx.astype(str), 12))
 
 
-def _token_arrays(rng: np.random.Generator, n: int, min_len: int, max_len: int) -> pa.ListArray:
-    """n token arrays as one flat Arrow list array (no Python lists)."""
+def _token_arrays(rng: np.random.Generator, n: int, min_len: int, max_len: int) -> pa.Array:
+    """n token arrays as one flat Arrow list array (no Python lists).
+    Beyond 2^31 total tokens, 32-bit list offsets would silently wrap (and
+    crash Arrow) — switch to large_list (64-bit offsets); Parquet stores
+    both as the same LIST type, so readers are unaffected."""
     lens = rng.integers(min_len, max_len + 1, size=n)
-    flat = rng.integers(0, VOCAB, size=int(lens.sum()), dtype=np.int32)
+    total = int(lens.sum())
+    flat = rng.integers(0, VOCAB, size=total, dtype=np.int32)
+    if total >= 2**31 - 8:
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        return pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.int32()))
     offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(lens, out=offsets[1:])
     return pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.int32()))

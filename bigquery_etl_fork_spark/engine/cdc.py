@@ -111,6 +111,8 @@ class CDCEngine:
         max_shuffle_partitions: int = 4096,
         compact_files_per_bucket: int = 16,
         broadcast_key_limit: int = 2_000_000,
+        mor_dedup: str = "auto",
+        multiplicity_threshold: float = 4.0,
     ):
         if storage_mode not in ("mor", "cow"):
             raise ValueError(f"unknown storage_mode {storage_mode!r}")
@@ -135,6 +137,25 @@ class CDCEngine:
         # 8 GiB / 512M-row broadcast limits (or OOM the driver), so the
         # merge drops the hint and lets the planner shuffle both sides.
         self.broadcast_key_limit = broadcast_key_limit
+        # MoR jvm-mode physical dedup strategy:
+        #   "window" — single bucket-clustered shuffle of ALL delta rows
+        #              (sort + lead window). Optimal when keys are mostly
+        #              unique: one shuffle that doubles as write clustering.
+        #   "maxby"  — groupBy(key).max(struct): map-side partial agg
+        #              collapses per-key duplicates BEFORE the shuffle, then
+        #              one tiny repartition of the winners for clustering.
+        #              Optimal at high per-key multiplicity (a hot binlog):
+        #              shuffle bytes drop by ~the multiplicity factor.
+        #   "auto"   — probe a 2% key-column sample (one sub-second job,
+        #              column-pruned) and pick maxby when events/key >=
+        #              multiplicity_threshold.
+        self.mor_dedup = mor_dedup
+        self.multiplicity_threshold = multiplicity_threshold
+        # auto-probe memo: multiplicity is a property of the SOURCE (how hot
+        # the binlog keys run), stable across epochs — probe the first epoch,
+        # re-probe every 16th so a drip of small epochs pays ~1/16 probe jobs
+        self._probe_counter = 0
+        self._probe_choice: str | None = None
 
     # ---------------- public API ----------------
 
@@ -240,6 +261,24 @@ class CDCEngine:
             tie_cols=[self.op_col],
         )
 
+    def _multiplicity_probe(self, slim: DataFrame) -> bool:
+        """True when the epoch's per-key event multiplicity crosses the
+        maxby threshold. One tiny job: 2% sample of the key column only
+        (Parquet column pruning — token payloads never decoded)."""
+        row = (
+            slim.select(self.key)
+            .sample(fraction=0.02, seed=7)
+            .agg(
+                F.count("*").alias("n"),
+                F.approx_count_distinct(self.key).alias("d"),
+            )
+            .collect()[0]
+        )
+        n, d = int(row["n"]), int(row["d"])
+        if n < 2_000:  # sample too small to judge; window is the safe default
+            return False
+        return n / max(d, 1) >= self.multiplicity_threshold
+
     def _apply_epoch_inner(self, epoch: int, events: DataFrame, t0: float) -> EpochStats:
         events_in = events.count() if self.count_input else -1
 
@@ -291,21 +330,40 @@ class CDCEngine:
             )
         )
         if self.dedup_mode == "jvm" and not use_salt:
-            # single-shuffle fast path: the bucket-clustered dedup's output
-            # distribution doubles as the write clustering, so the delta
-            # moves exactly once per epoch
             nb = self.table.num_buckets
             slim = events.select(
                 self.key, self.order, self.op_col,
                 *[f.name for f in target.fields
                   if f.name != self.key and f.name in events.columns],
             )
-            deduped = lww_dedup_bucket_clustered(
-                slim, lambda c: bucket_id(c, nb), BUCKET_COL, self.key, self.order
-            )
-            aligned = compat_select(deduped, target_plus).withColumn(
-                BUCKET_COL, bucket_id(F.col(self.key), nb)
-            )
+            strategy = self.mor_dedup
+            if strategy == "auto":
+                if self._probe_choice is None or self._probe_counter % 16 == 0:
+                    self._probe_choice = (
+                        "maxby" if self._multiplicity_probe(slim) else "window"
+                    )
+                self._probe_counter += 1
+                strategy = self._probe_choice
+            if strategy == "maxby":
+                # partial-agg fast path: per-key duplicates collapse map-side
+                # (combine), the shuffle carries ~one row per key, and only
+                # the small winner set is re-clustered for the write
+                deduped = lww_dedup(slim, self.key, self.order, mode="jvm")
+                aligned = (
+                    compat_select(deduped, target_plus)
+                    .withColumn(BUCKET_COL, bucket_id(F.col(self.key), nb))
+                    .repartition(BUCKET_COL)
+                )
+            else:
+                # single-shuffle fast path: the bucket-clustered dedup's
+                # output distribution doubles as the write clustering, so
+                # the full delta moves exactly once per epoch
+                deduped = lww_dedup_bucket_clustered(
+                    slim, lambda c: bucket_id(c, nb), BUCKET_COL, self.key, self.order
+                )
+                aligned = compat_select(deduped, target_plus).withColumn(
+                    BUCKET_COL, bucket_id(F.col(self.key), nb)
+                )
             staged = self.table.stage_delta(
                 aligned, key_col=self.key, op_col=self.op_col,
                 order_col=self.order, pre_clustered=True,

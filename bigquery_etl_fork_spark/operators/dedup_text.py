@@ -54,16 +54,32 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
+    hash_mode: str = "md5hex",
 ) -> DataFrame:
-    """One row per doc with columns h0..h{K-1}: the K minhash values
-    (16-hex-char md5 prefixes, min'd as strings)."""
+    """One row per doc with columns h0..h{K-1}: the K minhash values.
+
+    hash_mode:
+      - "md5hex"   — 16-hex-char md5 prefixes min'd as strings. Cross-engine
+        deterministic (md5 is the one hash Spark and DuckDB share), which is
+        what makes the LSH query oracle-checkable bit-for-bit.
+      - "xxhash64" — int64 signatures (JVM xxhash64). 8 bytes/hash vs 16
+        UTF-8 chars: ~4x less signature state shuffled/stored — the
+        production path when no cross-engine oracle is needed."""
     sh = shingled(df, id_col, text_col, n)
-    aggs = [
-        F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle"))), 1, 16)
-        ).alias(f"h{k}")
-        for k in range(num_hashes)
-    ]
+    if hash_mode == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
+    elif hash_mode == "md5hex":
+        aggs = [
+            F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle"))), 1, 16)
+            ).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -74,12 +90,15 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_mode: str = "md5hex",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + their estimated Jaccard
-    (fraction of matching minhash components). Deterministic, oracle-checked."""
+    (fraction of matching minhash components). Deterministic; the md5hex
+    mode is oracle-checked, the xxhash64 mode is the compact production
+    signature (see minhash_signatures)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_mode)
 
     band_keys = []
     for b in range(bands):

@@ -3,11 +3,18 @@
 Media (image/audio/video) are carried as ``binary`` columns with a typed
 metadata struct, processed by ``mapInPandas`` (Arrow batch in/out — never
 per-row Python). The Spark-side plumbing (schemas, batch iteration, UDF
-signatures, partitioning) is real and tested; the codec itself is gated:
-with Pillow/torchaudio absent in this environment, a deterministic
-header-parser stands in (``FAKE_MAGIC`` blobs produced by
-``synth_media_table``), and real decoders raise ``NotImplementedError``
-until the libraries are installed.
+signatures, partitioning) is real and tested, and so is the decode step for
+uncompressed public formats — pure numpy, no external codec libraries:
+
+- netpbm binary images (``P5`` grayscale / ``P6`` RGB): header parse +
+  ``np.frombuffer`` pixel plane;
+- RIFF/WAVE PCM audio (8/16-bit): chunk walk + vectorized amplitude stats;
+- the deterministic ``MM01`` fake format (``synth_media_table``) kept for
+  plumbing tests.
+
+COMPRESSED formats (JPEG/PNG/MP3/...) are the only gated path: they need
+Pillow/torchaudio, absent in this environment, so they raise
+``NotImplementedError`` until installed.
 
 Fake blob layout (little-endian): magic ``MM01`` | u16 width | u16 height |
 u8 channels | payload bytes (one per pixel-ish unit).
@@ -89,21 +96,143 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
     )
 
 
+def synth_netpbm(w: int, h: int, channels: int = 1, seed: int = 0) -> bytes:
+    """A valid binary netpbm blob (P5 gray / P6 rgb) with random pixels."""
+    rng = np.random.default_rng(seed)
+    magic = b"P5" if channels == 1 else b"P6"
+    header = magic + f"\n# synth\n{w} {h}\n255\n".encode("ascii")
+    return header + rng.integers(0, 256, size=w * h * channels, dtype=np.uint8).tobytes()
+
+
+def synth_wav(n_frames: int, rate: int = 16000, channels: int = 1, seed: int = 0) -> bytes:
+    """A valid 16-bit PCM RIFF/WAVE blob with random samples."""
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=n_frames * channels, dtype=np.int16)
+    data = samples.tobytes()
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_real_media_table(n: int = 24, seed: int = 17) -> pa.Table:
+    """Mixed REAL-format media blobs (netpbm images + PCM WAV audio) for
+    end-to-end decode tests — same MEDIA_SCHEMA as the fake table."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if i % 3 == 2:
+            frames, ch = int(rng.integers(64, 512)), int(rng.integers(1, 3))
+            blob = synth_wav(frames, channels=ch, seed=i)
+            rows.append((i, "audio", blob, (frames, 16000, ch, len(blob))))
+        else:
+            w, h = int(rng.integers(2, 48)), int(rng.integers(2, 48))
+            ch = 1 if i % 3 == 0 else 3
+            blob = synth_netpbm(w, h, ch, seed=i)
+            rows.append((i, "image", blob, (w, h, ch, len(blob))))
+    return pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array([r[1] for r in rows]),
+            "media": pa.array([r[2] for r in rows], pa.binary()),
+            "meta": pa.array(
+                [
+                    {"width": m[0], "height": m[1], "channels": m[2], "n_bytes": m[3]}
+                    for _i, _k, _b, m in rows
+                ],
+                pa.struct(
+                    [
+                        ("width", pa.int32()),
+                        ("height", pa.int32()),
+                        ("channels", pa.int32()),
+                        ("n_bytes", pa.int64()),
+                    ]
+                ),
+            ),
+        }
+    )
+
+
+def _parse_netpbm(blob: bytes) -> tuple[int, int, int, float, bool]:
+    """Binary netpbm (P5 grayscale / P6 RGB): ASCII header (width height
+    maxval, # comments allowed) then a raw pixel plane."""
+    c = 1 if blob[:2] == b"P5" else 3
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":
+            while i < len(blob) and blob[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(blob[i:j]))
+        i = j
+    w, h, maxval = tokens
+    i += 1  # exactly one whitespace byte after maxval, per spec
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    px = np.frombuffer(blob, dtype=np.uint8, count=w * h * c, offset=i)
+    return w, h, c, float(px.mean()) if len(px) else 0.0, True
+
+
+def _parse_wav(blob: bytes) -> tuple[int, int, int, float, bool]:
+    """RIFF/WAVE PCM (8/16-bit): walk the chunk list, fmt + data. Mapped
+    onto the generic decode schema as (n_frames, sample_rate, channels,
+    mean normalized |amplitude|)."""
+    channels = rate = bits = None
+    data = None
+    i = 12
+    while i + 8 <= len(blob):
+        cid = blob[i : i + 4]
+        size = struct.unpack("<I", blob[i + 4 : i + 8])[0]
+        body = blob[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1:
+                raise NotImplementedError("only PCM WAV supported")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if data is None or channels is None:
+        raise NotImplementedError("malformed WAV: missing fmt/data chunk")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit WAV not supported")
+    frames = len(x) // channels
+    mean = float(np.abs(x).mean()) if len(x) else 0.0
+    return frames, rate, channels, mean, True
+
+
 def _decode_blob(blob: bytes) -> tuple[int, int, int, float, bool]:
-    """Stub decoder for the deterministic fake format. Real image decode
-    (PIL) is intentionally not wired in this environment."""
-    if blob is None or blob[:4] != FAKE_MAGIC:
-        try:
-            import PIL  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                "real image decode requires Pillow; only FAKE_MAGIC blobs "
-                "are decodable in this environment"
-            ) from None
-        raise NotImplementedError("real decode path not implemented")
-    w, h, c = struct.unpack("<HHB", blob[4:9])
-    payload = np.frombuffer(blob[9:], dtype=np.uint8)
-    return w, h, c, float(payload.mean()) if len(payload) else 0.0, True
+    """Dispatch on magic bytes. Uncompressed formats decode in pure numpy;
+    compressed formats are the only path still gated on Pillow."""
+    if blob is None:
+        raise NotImplementedError("null media blob")
+    if blob[:4] == FAKE_MAGIC:
+        w, h, c = struct.unpack("<HHB", blob[4:9])
+        payload = np.frombuffer(blob[9:], dtype=np.uint8)
+        return w, h, c, float(payload.mean()) if len(payload) else 0.0, True
+    if blob[:2] in (b"P5", b"P6"):
+        return _parse_netpbm(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return _parse_wav(blob)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "compressed-format decode requires Pillow; netpbm/WAV/fake blobs "
+            "decode natively in this environment"
+        ) from None
+    raise NotImplementedError("compressed decode path not implemented")
 
 
 def decode_media(df: DataFrame, batch_hook=None) -> DataFrame:

@@ -101,13 +101,24 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
+    assign_mode: str = "auto",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF coarse quantizer with deterministic centroids: the n_cells rows
     with the smallest xxhash64(id) are the centroids (seedless, stable);
     every vector is assigned to its nearest centroid by cosine. Returns
-    (assigned_df with `cell` column, centroids). At scale the assignment is
-    a broadcast map-side argmin — no shuffle; cells become the partition
-    pruning unit for probes (the inverted-file idea)."""
+    (assigned_df with `cell` column, centroids). Assignment is map-side in
+    both modes — no shuffle; cells become the partition pruning unit for
+    probes (the inverted-file idea).
+
+    assign_mode:
+      - "expr"   — an n_cells-wide Column expression (pure Catalyst). Fine
+        for tens of cells; Janino codegen blows up at thousands.
+      - "pandas" — Arrow-batched ``mapInPandas``: one numpy (batch × cells)
+        matmul argmax per batch against the broadcast centroid matrix. The
+        scale path for production cell counts (n_cells in the thousands).
+      - "auto"   — expr for n_cells <= 64, pandas above. Both modes break
+        similarity ties toward the HIGHEST cell id, so they are
+        equality-testable."""
     seeds = (
         df.select(id_col, vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
         .orderBy("_h")
@@ -115,18 +126,49 @@ def ivf_assign(
         .collect()
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
-    v = F.col(vec_col).cast("array<double>")
-    scored = F.array(
-        *[
-            F.struct(
-                cosine_sim(v, F.array(*[F.lit(x) for x in c])).alias("sim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in centroids
-        ]
+    if assign_mode == "auto":
+        assign_mode = "expr" if n_cells <= 64 else "pandas"
+    if assign_mode == "expr":
+        v = F.col(vec_col).cast("array<double>")
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine_sim(v, F.array(*[F.lit(x) for x in c])).alias("sim"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in centroids
+            ]
+        )
+        assigned = df.withColumn("cell", F.array_max(scored)["cell"])
+        return assigned, centroids
+    if assign_mode != "pandas":
+        raise ValueError(f"unknown assign_mode {assign_mode!r}")
+
+    import pandas as pd  # noqa: F401  (mapInPandas batches are pandas)
+    from pyspark.sql import types as T
+
+    C = np.array([c for _i, c in centroids], dtype=float)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cell", T.IntegerType())]
     )
-    assigned = df.withColumn("cell", F.array_max(scored)["cell"])
-    return assigned, centroids
+    ncells = len(centroids)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(x, dtype=float) for x in pdf[vec_col]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            sims = Vn @ Cn.T  # (batch, n_cells)
+            # argmax over the REVERSED cell axis → ties go to the highest
+            # cell id, matching the expr mode's struct-max comparison
+            cells = (ncells - 1) - sims[:, ::-1].argmax(axis=1)
+            pdf = pdf.copy()
+            pdf["cell"] = cells.astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema), centroids
 
 
 def ivf_topk(

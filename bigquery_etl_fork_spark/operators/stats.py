@@ -137,6 +137,67 @@ def parse_histogram(col: Column | str) -> Column:
     return F.from_json(c, HISTOGRAM_JSON_SCHEMA)
 
 
+def glam_probe_percentiles(
+    df: DataFrame,
+    probe_cols: list[str],
+    client_col: str,
+    bucket_col: str,
+    percentiles: tuple[int, ...] = (25, 50, 75, 95),
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """The GLAM probe_counts pipeline as one reusable relational operator
+    (reference ``bigquery_etl/glam/templates/probe_counts_v1.sql``,
+    ``sql/mozfun/glam/histogram_normalized_sum`` + ``glam/percentile``):
+
+    1. per-client histogram   — count rows per (probe, client, bucket);
+    2. normalize              — each client's histogram sums to 1 (densities
+       scaled to integers by ``scale`` with integer division, so the whole
+       pipeline is exact and engine-independent);
+    3. aggregate              — sum normalized densities across clients;
+    4. percentiles            — first bucket whose cumulative density
+       crosses p% of the probe's total.
+
+    Input ``df`` needs one row per observation with ``probe_cols``,
+    ``client_col`` and an integer ``bucket_col``. Output: one row per probe
+    with ``n_clients`` and a ``p{p}`` bucket column per percentile. Shape:
+    two hash aggregates + one window — map-side combined, no Python."""
+    client = df.groupBy(*probe_cols, client_col, bucket_col).agg(
+        F.count("*").alias("_c")
+    )
+    wtot = W.partitionBy(*probe_cols, client_col)
+    client = client.withColumn("_tot", F.sum("_c").over(wtot)).withColumn(
+        "_density", F.expr(f"(_c * {scale}) div _tot")
+    )
+    agg = client.groupBy(*probe_cols, bucket_col).agg(
+        F.sum("_density").alias("_density")
+    )
+    wcum = (
+        W.partitionBy(*probe_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy(*probe_cols)
+    agg = agg.withColumn("_cum", F.sum("_density").over(wcum)).withColumn(
+        "_total", F.sum("_density").over(wall)
+    )
+    pct_aggs = [
+        F.min(
+            F.when(
+                F.col("_cum") * 100 >= F.lit(int(p)) * F.col("_total"),
+                F.col(bucket_col),
+            )
+        ).alias(f"p{p}")
+        for p in percentiles
+    ]
+    pcts = agg.groupBy(*probe_cols).agg(*pct_aggs)
+    nclients = client.groupBy(*probe_cols).agg(
+        F.countDistinct(client_col).alias("n_clients")
+    )
+    return pcts.join(nclients, list(probe_cols)).select(
+        *probe_cols, "n_clients", *[f"p{p}" for p in percentiles]
+    )
+
+
 def histogram_merge(entries: Column) -> Column:
     """Merge an array of parsed histograms: sum of sums + keyed-value sums
     (reference sql/mozfun/hist/merge). Pure higher-order functions."""

@@ -1204,41 +1204,14 @@ SELECT user_id FROM events WHERE event_type = 'purchase'
 
 
 def q_glam_percentiles(spark, sf_dir):
+    from .operators.stats import glam_probe_percentiles
+
     ev = load(spark, sf_dir, "events")
-    bucket = F.expr("CAST(floor(value) AS BIGINT) div 50")
-    client = (
-        ev.select(F.col("event_type"), F.col("user_id"), bucket.alias("bucket"))
-        .groupBy("event_type", "user_id", "bucket")
-        .agg(F.count("*").alias("c"))
+    obs = ev.select(
+        "event_type", "user_id", F.expr("CAST(floor(value) AS BIGINT) div 50").alias("bucket")
     )
-    wtot = W.partitionBy("event_type", "user_id")
-    client = client.withColumn("tot", F.sum("c").over(wtot)).withColumn(
-        "density", F.expr("(c * 1000000000) div tot")
-    )
-    agg = client.groupBy("event_type", "bucket").agg(
-        F.sum("density").alias("density")
-    )
-    wcum = (
-        W.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    wall = W.partitionBy("event_type")
-    agg = agg.withColumn("cum", F.sum("density").over(wcum)).withColumn(
-        "total", F.sum("density").over(wall)
-    )
-
-    def pct(p):
-        return F.min(
-            F.when(F.col("cum") * 100 >= F.lit(p) * F.col("total"), F.col("bucket"))
-        ).alias(f"p{p}")
-
-    pcts = agg.groupBy("event_type").agg(pct(25), pct(50), pct(75), pct(95))
-    nclients = client.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_clients")
-    )
-    return pcts.join(nclients, "event_type").select(
-        "event_type", "n_clients", "p25", "p50", "p75", "p95"
+    return glam_probe_percentiles(
+        obs, probe_cols=["event_type"], client_col="user_id", bucket_col="bucket"
     )
 
 

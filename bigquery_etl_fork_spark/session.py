@@ -29,8 +29,14 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(int(n), 4)
+        if master.startswith("local-cluster["):
+            # local-cluster[nWorkers,coresPerWorker,memMB] — multi-JVM
+            # executors; total cores = workers × cores
+            n_exec, cores = master[len("local-cluster[") : -1].split(",")[:2]
+            shuffle_partitions = max(int(n_exec) * int(cores), 4)
+        else:
+            n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+            shuffle_partitions = 32 if n == "*" else max(int(n), 4)
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -354,3 +354,113 @@ def test_event_code_points_round_trip(spark):
     )
     got = [r[0] for r in df.select(UF.event_code_points_to_string(F.col("cps"))).collect()]
     assert got == ["Hi!", "a", ""]
+
+
+def test_ivf_assign_modes_agree(spark):
+    from bigquery_etl_fork_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cols = emb.columns
+    id_col = "vec_id" if "vec_id" in cols else cols[0]
+    vec_col = "embedding" if "embedding" in cols else cols[1]
+    a, ca = ivf_assign(emb, id_col, vec_col, n_cells=8, assign_mode="expr")
+    b, cb = ivf_assign(emb, id_col, vec_col, n_cells=8, assign_mode="pandas")
+    assert ca == cb
+    pa_ = a.select(id_col, "cell").toPandas().set_index(id_col)["cell"]
+    pb_ = b.select(id_col, "cell").toPandas().set_index(id_col)["cell"]
+    assert pa_.sort_index().tolist() == pb_.sort_index().tolist()
+
+
+def test_minhash_xxhash64_mode(spark):
+    from bigquery_etl_fork_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (3, "the quick brown fox jumps over a sleepy dog"),  # near dup
+        (4, "completely different text about spark engines here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = minhash_signatures(df, hash_mode="xxhash64")
+    assert dict(sigs.dtypes)["h0"] == "bigint"  # 8-byte ints, not hex strings
+    pairs = minhash_lsh_pairs(df, hash_mode="xxhash64").toPandas()
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs.itertuples()}
+    assert got.get((1, 2)) == 1.0  # exact dup: all 16 minhashes equal
+    assert (1, 4) not in got and (2, 4) not in got
+    # mode equivalence on exact duplicates regardless of hash family
+    md5_pairs = minhash_lsh_pairs(df, hash_mode="md5hex").toPandas()
+    md5_got = {(r.doc_a, r.doc_b): r.est_jaccard for r in md5_pairs.itertuples()}
+    assert md5_got.get((1, 2)) == 1.0
+
+
+def test_real_format_media_decode(spark):
+    import numpy as np
+    import struct as _struct
+
+    from bigquery_etl_fork_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        synth_netpbm,
+        synth_real_media_table,
+        synth_wav,
+    )
+
+    tbl = synth_real_media_table(n=24, seed=17)
+    df = spark.createDataFrame(tbl.to_pandas(), schema=MEDIA_SCHEMA)
+    out = decode_media(df).toPandas().set_index("media_id").sort_index()
+    meta = tbl.to_pandas().set_index("media_id").sort_index()
+    assert out["ok"].all(), "every real-format blob must decode"
+    for i in out.index:
+        assert out.loc[i, "width"] == meta.loc[i, "meta"]["width"]
+        assert out.loc[i, "channels"] == meta.loc[i, "meta"]["channels"]
+    # ground-truth pixel mean for one netpbm blob, computed independently
+    blob = synth_netpbm(8, 4, 3, seed=99)
+    px = np.frombuffer(blob, dtype=np.uint8, offset=len(blob) - 8 * 4 * 3)
+    df1 = spark.createDataFrame(
+        [(0, "image", bytearray(blob), (8, 4, 3, len(blob)))], schema=MEDIA_SCHEMA
+    )
+    got = decode_media(df1).collect()[0]
+    assert (got["width"], got["height"], got["channels"]) == (8, 4, 3)
+    assert abs(got["mean_intensity"] - round(float(px.mean()), 4)) < 1e-9
+    # ground-truth amplitude for one wav blob
+    wav = synth_wav(100, rate=8000, channels=2, seed=5)
+    x = np.frombuffer(wav[-400:], dtype="<i2").astype(float) / 32768.0
+    dfw = spark.createDataFrame(
+        [(0, "audio", bytearray(wav), (100, 8000, 2, len(wav)))], schema=MEDIA_SCHEMA
+    )
+    gw = decode_media(dfw).collect()[0]
+    assert (gw["width"], gw["height"], gw["channels"]) == (100, 8000, 2)
+    assert abs(gw["mean_intensity"] - round(float(np.abs(x).mean()), 4)) < 1e-9
+
+
+def test_mor_dedup_strategies_equal(spark, tmp_path):
+    """window / maxby / auto MoR dedup strategies produce identical state."""
+    base = datagen.base_table(n_docs=100, seed=81)
+    # high multiplicity: 3000 events over 100 docs -> auto must pick maxby
+    log = datagen.change_log(n_docs=100, n_events=3000, n_epochs=2, seed=82)
+    d = tmp_path / "ms"
+    d.mkdir()
+    pq.write_table(base, str(d / "base.parquet"))
+    pq.write_table(log, str(d / "log.parquet"))
+    base_df = spark.read.parquet(str(d / "base.parquet"))
+    states = {}
+    for strat in ("window", "maxby", "auto"):
+        t = LakeTable.create(
+            spark, str(tmp_path / f"t_{strat}"), base_df.schema, num_buckets=4
+        )
+        t.overwrite_all(base_df, key_col="doc_id")
+        CDCEngine(spark, t, count_input=False, mor_dedup=strat).replay(
+            spark.read.parquet(str(d / "log.parquet"))
+        )
+        states[strat] = (
+            t.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    assert_states_equal(states["window"], replay_oracle(base, log))
+    for strat in ("maxby", "auto"):
+        assert states[strat]["doc_id"].tolist() == states["window"]["doc_id"].tolist()
+        assert [list(x) for x in states[strat]["tokens"]] == [
+            list(x) for x in states["window"]["tokens"]
+        ]
