@@ -158,7 +158,7 @@ def main() -> None:
     if cdc_only:
         print(json.dumps({"cdc": cdc, "cpus": CPUS, "sf": sf}))
         return
-    bulk = run_cdc(spark, sf, dedup_mode=dedup_mode, n_epochs=1, repeat=1)
+    bulk = run_cdc(spark, sf, dedup_mode=dedup_mode, n_epochs=1)
 
     # min-of-N per query: the sandbox host's external load causes 2-10x
     # one-off spikes (a cube query once measured 10.4s vs its true ~1s);

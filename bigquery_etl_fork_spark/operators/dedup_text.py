@@ -59,12 +59,16 @@ def minhash_signatures(
     """One row per doc with columns h0..h{K-1}: the K minhash values.
 
     hash_mode:
-      - "md5hex"   — 16-hex-char md5 prefixes min'd as strings. Cross-engine
-        deterministic (md5 is the one hash Spark and DuckDB share), which is
-        what makes the LSH query oracle-checkable bit-for-bit.
-      - "xxhash64" — int64 signatures (JVM xxhash64). 8 bytes/hash vs 16
-        UTF-8 chars: ~4x less signature state shuffled/stored — the
-        production path when no cross-engine oracle is needed."""
+      - "md5hex"   — 8-hex-char (32-bit) slices of md5 digests, min'd as
+        strings. Cross-engine deterministic (md5 is the one hash Spark and
+        DuckDB share), which is what makes the LSH query oracle-checkable
+        bit-for-bit. One md5 per shingle yields FOUR independent 32-bit
+        minhash components (digest sliced at 8-char offsets), so K hashes
+        cost K/4 md5 invocations — md5 is the dominant cost of the
+        signature stage.
+      - "xxhash64" — int64 signatures (JVM xxhash64). 8 bytes/hash vs hex
+        strings: less signature state shuffled/stored — the production
+        path when no cross-engine oracle is needed."""
     sh = shingled(df, id_col, text_col, n)
     if hash_mode == "xxhash64":
         aggs = [
@@ -74,7 +78,11 @@ def minhash_signatures(
     elif hash_mode == "md5hex":
         aggs = [
             F.min(
-                F.substring(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle"))), 1, 16)
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{k // 4}:"), F.col("shingle"))),
+                    (k % 4) * 8 + 1,
+                    8,
+                )
             ).alias(f"h{k}")
             for k in range(num_hashes)
         ]

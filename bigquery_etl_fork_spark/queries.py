@@ -495,7 +495,8 @@ SQL_MINHASH_LSH = (
     + _sql_shingles(3)
     + ",\nsig AS (SELECT doc_id, "
     + ", ".join(
-        f"min(substring(md5('{k}:' || shingle), 1, 16)) AS h{k}" for k in range(16)
+        f"min(substring(md5('{k // 4}:' || shingle), {(k % 4) * 8 + 1}, 8)) AS h{k}"
+        for k in range(16)
     )
     + " FROM sh GROUP BY doc_id),\nbanded AS ("
     + "\nUNION ALL\n".join(
