@@ -72,6 +72,7 @@ class EpochStats:
     buckets_touched: int
     latency_s: float
     skipped: bool = False
+    affected: list[int] = field(default_factory=list)
 
 
 @dataclass
@@ -113,6 +114,7 @@ class CDCEngine:
         broadcast_key_limit: int = 2_000_000,
         mor_dedup: str = "auto",
         multiplicity_threshold: float = 4.0,
+        post_commit_checks: list | None = None,
     ):
         if storage_mode not in ("mor", "cow"):
             raise ValueError(f"unknown storage_mode {storage_mode!r}")
@@ -156,6 +158,13 @@ class CDCEngine:
         # re-probe every 16th so a drip of small epochs pays ~1/16 probe jobs
         self._probe_counter = 0
         self._probe_choice: str | None = None
+        # the reference's checks.sql runtime layer (cli/check.py:104-288)
+        # wired into the replay loop: after each epoch's commit, evaluate
+        # the given engine.checks Check list over the RESOLVED state of the
+        # buckets that epoch touched (one pruned aggregate pass). #fail
+        # severity raises CheckFailure AFTER the commit — same post-ETL
+        # alerting model as the reference.
+        self.post_commit_checks = post_commit_checks
 
     # ---------------- public API ----------------
 
@@ -238,7 +247,13 @@ class CDCEngine:
                 "spark.sql.files.maxPartitionBytes", str(self._sized_split_bytes(est_bytes))
             )
         try:
-            return self._apply_epoch_inner(epoch, events, t0)
+            stats = self._apply_epoch_inner(epoch, events, t0)
+            if self.post_commit_checks and stats.affected:
+                from .checks import run_checks
+
+                state = self.table.read(stats.affected, key_col=self.key)
+                run_checks(state, self.post_commit_checks)
+            return stats
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
             self.spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
@@ -418,7 +433,8 @@ class CDCEngine:
                 to_compact, key_col=self.key, order_col=self.order, op_col=self.op_col
             )
         return EpochStats(
-            epoch, events_in, rows_upserted, rows_deleted, len(affected), time.time() - t0
+            epoch, events_in, rows_upserted, rows_deleted, len(affected),
+            time.time() - t0, affected=list(affected),
         )
 
     def _apply_cow(
@@ -520,7 +536,8 @@ class CDCEngine:
             pre_clustered=not compact,
         )
         return EpochStats(
-            epoch, events_in, rows_upserted, rows_deleted, len(affected), time.time() - t0
+            epoch, events_in, rows_upserted, rows_deleted, len(affected),
+            time.time() - t0, affected=list(affected),
         )
 
     # ---------------- helpers ----------------

@@ -5,9 +5,11 @@ path; hashing via built-in ``md5``/``xxhash64``, JVM-side):
 
 - exact dedup        — content-hash groupBy (see ``queries.q_exact_dedup_docs``)
 - MinHash + LSH      — shingle → K minhashes → B bands → bucket self-join.
-  Hash values are hex-string prefixes of md5 so an independent SQL engine
-  (DuckDB oracle) reproduces them bit-for-bit; min() over fixed-width hex
-  strings is order-isomorphic to min() over the underlying integers.
+  Hash values are fixed-width hex slices of md5 digests (4 independent
+  32-bit components per digest) so an independent SQL engine (DuckDB
+  oracle) reproduces them bit-for-bit; min() over fixed-width hex strings
+  is order-isomorphic to min() over the underlying integers. An int64
+  xxhash64 mode serves production (no oracle needed).
 - SimHash            — 64-bit signature from per-token hash bit votes;
   near-dups = signatures within a Hamming radius (banded for scale).
 - n-gram Jaccard     — exact set overlap on word shingles via shingle join.

@@ -464,3 +464,30 @@ def test_mor_dedup_strategies_equal(spark, tmp_path):
         assert [list(x) for x in states[strat]["tokens"]] == [
             list(x) for x in states["window"]["tokens"]
         ]
+
+
+def test_post_commit_checks(spark, tmp_path):
+    base = datagen.base_table(n_docs=60, seed=91)
+    log = datagen.change_log(n_docs=60, n_events=400, n_epochs=2, seed=92)
+    d = tmp_path / "pc"
+    d.mkdir()
+    pq.write_table(base, str(d / "base.parquet"))
+    pq.write_table(log, str(d / "log.parquet"))
+    base_df = spark.read.parquet(str(d / "base.parquet"))
+
+    def fresh(name, checks):
+        t = LakeTable.create(spark, str(tmp_path / name), base_df.schema, num_buckets=4)
+        t.overwrite_all(base_df, key_col="doc_id")
+        return CDCEngine(spark, t, count_input=False, post_commit_checks=checks)
+
+    # the dedup invariant holds -> checks pass every epoch
+    ok_checks = [C.is_unique(["doc_id"]), C.not_null(["doc_id"]),
+                 C.array_len_equals("tokens", "n_tok")]
+    stats = fresh("ok", ok_checks).replay(spark.read.parquet(str(d / "log.parquet")))
+    assert all(not e.skipped for e in stats.epochs)
+
+    # an impossible #fail check raises AFTER the commit (epoch stays applied)
+    eng = fresh("bad", [C.min_row_count(10**9)])
+    with pytest.raises(C.CheckFailure):
+        eng.replay(spark.read.parquet(str(d / "log.parquet")))
+    assert eng.table.snapshot.properties["epoch_watermark"] == 1  # commit survived
