@@ -76,3 +76,32 @@ def test_merge_plan_broadcasts_delta_keys(spark, tmp_path):
     )
     plan = explain_string(merge_delta(current, delta, payload_cols=["doc_id", "n"]))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_maxby_dedup_plan_has_partial_agg(spark):
+    """The maxby MoR strategy's whole premise: per-key duplicates collapse
+    MAP-SIDE (partial_max before the Exchange), so the shuffle carries ~one
+    row per key."""
+    from bigquery_etl_fork_spark.operators.dedup_lww import lww_dedup
+
+    df = spark.createDataFrame(
+        [("a", 1, "U", [1, 2]), ("a", 2, "U", [3])],
+        "doc_id string, lsn long, op string, tokens array<int>",
+    )
+    plan = explain_string(lww_dedup(df, "doc_id", "lsn", mode="jvm"))
+    # Spark only emits partial_* agg modes on the pre-shuffle (map) side,
+    # so its presence IS the map-side combine
+    assert "partial_max" in plan, "map-side combine missing"
+    assert "hashpartitioning" in plan
+
+
+def test_asof_jvm_plan_single_shuffle_no_python(spark):
+    from bigquery_etl_fork_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 5, 1)], "k string, lts long, v long")
+    right = spark.createDataFrame([("k", 3, 9)], "k string, rts long, rv long")
+    plan = explain_string(asof_join(left, right, "k", "lts", "rts", ["rv"]))
+    assert "ArrowEvalPython" not in plan and "FlatMapCoGroupsInPandas" not in plan
+    # one hash-partitioning exchange on the key feeds the carry-forward
+    # window; the pandas cogroup mode would need two
+    assert plan.count("Arguments: hashpartitioning") == 1
