@@ -92,3 +92,40 @@ def test_lww_replay_property(spark, tmp_path_factory, storage, events, dups, n_e
     got = t.read().toPandas()
     expected = replay_oracle(base, log)
     assert_states_equal(got, expected)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    events=logs,
+    dups=dup_positions,
+    n_epochs=st.integers(2, 4),
+    compact_every=st.integers(1, 4),
+)
+def test_change_feed_property(spark, tmp_path_factory, events, dups, n_epochs, compact_every):
+    """The CDC-out feed over the full replay range must carry exactly the
+    per-key LWW winners of the log — REGARDLESS of how aggressively
+    compaction removed delta files inside the range."""
+    base, log = _build_tables(events, dups, n_epochs)
+    tmp = tmp_path_factory.mktemp("propcf")
+    base_df = spark.createDataFrame(base.to_pandas())
+    log_df = spark.createDataFrame(log.to_pandas())
+    t = LakeTable.create(spark, str(tmp / "t"), base_df.schema, num_buckets=2)
+    t.overwrite_all(base_df, key_col="doc_id")
+    v0 = t.snapshot.version
+    CDCEngine(
+        spark, t, count_input=False, compact_files_per_bucket=compact_every
+    ).replay(log_df)
+
+    feed = t.changes(v0, t.snapshot.version).toPandas()
+    lp = log.to_pandas().sort_values(["lsn", "op"], kind="stable")
+    # same tie rule as the engine: max (lsn, op) per key ('U' > 'D')
+    last = lp.drop_duplicates("doc_id", keep="last").set_index("doc_id")
+    assert set(feed["doc_id"]) == set(last.index)
+    for _, r in feed.iterrows():
+        truth = last.loc[r["doc_id"]]
+        assert r["lsn"] == truth["lsn"]
+        assert (r["op"] == "D") == (truth["op"] == "D")
