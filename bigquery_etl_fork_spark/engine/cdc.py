@@ -37,6 +37,7 @@ Scale shape per epoch (E events into a table of B buckets):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Iterable
@@ -175,28 +176,86 @@ class CDCEngine:
     ) -> ReplayStats:
         """Apply every epoch of the change log in order, skipping epochs at or
         below the committed watermark (crash-safe resume)."""
+        cleanup = None
         if isinstance(log, DataFrame):
+            batches, cleanup = self._plan_batches(log)
+        else:
+            batches = log
+
+        stats = ReplayStats()
+        try:
+            for epoch, events in batches:
+                watermark = self.table.snapshot.properties.get(WATERMARK_PROP, -1)
+                if epoch <= watermark:
+                    stats.epochs.append(EpochStats(epoch, 0, 0, 0, 0, 0.0, skipped=True))
+                    continue
+                stats.epochs.append(self.apply_epoch(epoch, events))
+                if fail_after_epoch is not None and epoch >= fail_after_epoch:
+                    raise SimulatedCrash(f"simulated crash after committing epoch {epoch}")
+        finally:
+            if cleanup is not None:
+                cleanup()
+        return stats
+
+    def _plan_batches(self, log: DataFrame):
+        """Slice a whole-log DataFrame into ordered per-epoch batches.
+
+        Two layouts, two strategies:
+
+        - hive-partitioned on ``epoch=N`` (the production log layout): a
+          per-epoch ``where`` prunes to exactly that epoch's directory, so
+          E filtered reads cost O(N) total — keep the lazy slicing.
+        - UNPARTITIONED input (epoch is just a column): per-epoch filters
+          would each rescan the ENTIRE log — O(E·N), a silent flagship-path
+          hazard at 10^10 events. Instead pay ONE O(N) pass that re-lays the
+          log out as ``epoch=N`` parquet directories in a scratch dir next
+          to the table, then replay from those pruned dirs (removed after
+          the replay; a crash before cleanup leaves only reclaimable
+          scratch, never state).
+        """
+        files = log.inputFiles()
+        partitioned = bool(files) and all(f"/{self.epoch_col}=" in f for f in files)
+        if partitioned:
             epochs = [
                 r[0]
                 for r in log.select(self.epoch_col).distinct().orderBy(self.epoch_col).collect()
             ]
             self._epoch_bytes_hint = self._estimate_bytes(log) // max(len(epochs), 1)
-            batches: Iterable[tuple[int, DataFrame]] = (
-                (e, log.where(F.col(self.epoch_col) == F.lit(e))) for e in epochs
+            return (
+                ((e, log.where(F.col(self.epoch_col) == F.lit(e))) for e in epochs),
+                None,
             )
-        else:
-            batches = log
 
-        stats = ReplayStats()
-        for epoch, events in batches:
-            watermark = self.table.snapshot.properties.get(WATERMARK_PROP, -1)
-            if epoch <= watermark:
-                stats.epochs.append(EpochStats(epoch, 0, 0, 0, 0, 0.0, skipped=True))
-                continue
-            stats.epochs.append(self.apply_epoch(epoch, events))
-            if fail_after_epoch is not None and epoch >= fail_after_epoch:
-                raise SimulatedCrash(f"simulated crash after committing epoch {epoch}")
-        return stats
+        import shutil
+        import uuid as _uuid
+
+        scratch = os.path.join(
+            self.table.root, f"_epoch_relayout_{_uuid.uuid4().hex[:8]}"
+        )
+        log.write.partitionBy(self.epoch_col).parquet(scratch)
+        epochs = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(scratch)
+            if d.startswith(f"{self.epoch_col}=")
+        )
+        self._epoch_bytes_hint = (
+            sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, fs in os.walk(scratch)
+                for f in fs
+            )
+            // max(len(epochs), 1)
+        )
+        batches = (
+            (
+                e,
+                self.spark.read.parquet(
+                    os.path.join(scratch, f"{self.epoch_col}={e}")
+                ),
+            )
+            for e in epochs
+        )
+        return batches, lambda: shutil.rmtree(scratch, ignore_errors=True)
 
     def _estimate_bytes(self, df: DataFrame) -> int:
         """Cheap input-size estimate from the scan's file list (driver-side)."""

@@ -103,6 +103,50 @@ def map_from_lists(keys: Column, vals: Column) -> Column:
     return F.zip_with(keys, vals, lambda k, v: F.struct(k.alias("key"), v.alias("value")))
 
 
+def map_mode_last(entries: Column) -> Column:
+    """map.mode_last: per-key mode_last over concatenated map entries.
+
+    Reference ``sql/mozfun/map/mode_last/udf.sql:7-17``: given an
+    ARRAY<STRUCT<key,value>> (typically ARRAY_CONCAT_AGG of many maps),
+    return one entry per distinct key whose value is the most frequent value
+    for that key, ties broken by latest position — ``stats.mode_last``
+    applied per key. Pure higher-order functions, zero runtime cost."""
+    keys = F.array_distinct(F.transform(entries, lambda e: e["key"]))
+    return F.transform(
+        keys,
+        lambda k: F.struct(
+            k.alias("key"),
+            mode_last(
+                F.transform(
+                    F.filter(entries, lambda e: e["key"].eqNullSafe(k)),
+                    lambda e: e["value"],
+                )
+            ).alias("value"),
+        ),
+    )
+
+
+def extract_keyed_scalar_sum(entries: Column) -> Column:
+    """Per-key sum over concatenated keyed-scalar map entries.
+
+    Reference ``sql/moz-fx-data-shared-prod/udf/aggregate_search_map`` (the
+    keyed-scalar/search-count aggregation): given ARRAY<STRUCT<key,value>>
+    entries pooled across rows, return one entry per distinct key with the
+    summed value (nulls count as 0)."""
+    keys = F.array_distinct(F.transform(entries, lambda e: e["key"]))
+    return F.transform(
+        keys,
+        lambda k: F.struct(
+            k.alias("key"),
+            F.aggregate(
+                F.filter(entries, lambda e: e["key"].eqNullSafe(k)),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + F.coalesce(e["value"].cast("long"), F.lit(0)),
+            ).alias("value"),
+        ),
+    )
+
+
 # ---------------- array utilities (reference udf/array_*) ----------------
 
 
@@ -122,9 +166,23 @@ def dedupe_array(arr: Column) -> Column:
 def event_code_points_to_string(code_points: Column) -> Column:
     """Pack an array of Unicode code points into a string — the events_daily
     sequence encoding (reference sql/moz-fx-data-shared-prod/udf/
-    event_code_points_to_string/udf.sql). Pure higher-order functions:
-    ``char()`` per element, joined JVM-side."""
-    return F.array_join(F.transform(code_points, F.char), "")
+    event_code_points_to_string/udf.sql). Full Unicode, pure expressions:
+    ``F.char`` would truncate to chr(n % 256), so each code point is encoded
+    as UTF-16BE hex (surrogate pairs above U+FFFF) and the concatenation is
+    unhex'd + decoded JVM-side — round-trips with ``string_to_code_points``
+    for the whole code space."""
+
+    def cp_hex(cp: Column) -> Column:
+        cp = cp.cast("long")
+        over = cp - F.lit(0x10000)
+        hi = F.shiftright(over, 10) + F.lit(0xD800)
+        lo = over.bitwiseAND(F.lit(0x3FF)) + F.lit(0xDC00)
+        return F.when(cp < 0x10000, F.lpad(F.hex(cp), 4, "0")).otherwise(
+            F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))
+        )
+
+    packed = F.array_join(F.transform(code_points, cp_hex), "")
+    return F.decode(F.unhex(packed), "UTF-16BE")
 
 
 def string_to_code_points(s: Column) -> Column:

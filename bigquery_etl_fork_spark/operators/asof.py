@@ -8,12 +8,16 @@ nulls.
 
 Two physical strategies, equality-tested against each other:
 
-- ``jvm`` (default) — union the tagged left and right rows, then carry each
-  right column forward with ``last(col, ignorenulls=True)`` over
-  ``Window.partitionBy(key).orderBy(ts, tag)`` and keep the left rows. One
-  shuffle, pure Catalyst window — no Python in the hot path, whole-stage
+- ``jvm`` (default) — union the tagged left and right rows, then carry ONE
+  struct of all right columns forward with ``last(struct, ignorenulls=True)``
+  over ``Window.partitionBy(key).orderBy(ts, tag)`` and keep the left rows.
+  One shuffle, pure Catalyst window — no Python in the hot path, whole-stage
   codegen end to end. At equal timestamps the right row sorts first
-  (tag 0 < 1), which is exactly "exact matches allowed".
+  (tag 0 < 1), which is exactly "exact matches allowed". The single-struct
+  carry matters: carrying columns independently would substitute stale
+  values from older right rows whenever the matched row holds a null field
+  (mixing columns across right rows); the struct is non-null for every right
+  row, so per-row null fields survive intact.
 - ``pandas`` — cogrouped ``applyInPandas`` running ``pd.merge_asof`` per key
   group (Arrow-batched; SURVEY.md §2.3's mapping). Kept as a mode because
   the kernel shape generalizes to tolerance/nearest variants Spark windows
@@ -54,22 +58,27 @@ def _asof_jvm(
     right_ts: str,
     right_cols: list[str],
 ) -> DataFrame:
+    from pyspark.sql import types as T
+
     l_types = {f.name: f.dataType for f in left.schema.fields}
     r_types = {f.name: f.dataType for f in right.schema.fields}
     l_cols = list(left.columns)
+    rs_type = T.StructType(
+        [T.StructField(c, r_types[c]) for c in right_cols]
+    )
     tagged_left = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
         *[F.col(c) for c in l_cols],
-        *[F.lit(None).cast(r_types[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(rs_type).alias("_rs"),
     )
     tagged_right = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
         *[F.lit(None).cast(l_types[c]).alias(c) for c in l_cols],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_rs"),
     )
     u = tagged_left.unionByName(tagged_right)
     w = (
@@ -77,14 +86,11 @@ def _asof_jvm(
         .orderBy("_ts", "_tag")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
-        for c in right_cols
-    ]
+    carried = F.last(F.col("_rs"), ignorenulls=True).over(w).alias("_rs")
     return (
-        u.select("_tag", *l_cols, *carried)
+        u.select("_tag", *l_cols, carried)
         .where(F.col("_tag") == 1)
-        .select(*l_cols, *[F.col(f"_r_{c}").alias(c) for c in right_cols])
+        .select(*l_cols, *[F.col("_rs").getField(c).alias(c) for c in right_cols])
     )
 
 

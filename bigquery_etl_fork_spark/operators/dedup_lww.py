@@ -39,6 +39,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _payload_cols(df: DataFrame, key: str, order: str) -> list[str]:
@@ -148,35 +149,42 @@ def lww_dedup_bucket_clustered(
     key: str = "doc_id",
     order: str = "lsn",
     num_partitions: int | None = None,
+    tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Single-shuffle LWW dedup whose output is ALSO clustered by bucket.
 
     Because bucket = f(key), repartitioning on the bucket column co-locates
-    every key's rows; after sortWithinPartitions(bucket, key, order, payload)
-    a window PARTITION BY bucket ORDER BY (key, order, payload) is satisfied
+    every key's rows; after sortWithinPartitions(bucket, key, order, ties)
+    a window PARTITION BY bucket ORDER BY (key, order, ties) is satisfied
     by the existing distribution+sort, so Catalyst inserts NO extra exchange:
     the winner of each key run is the row whose successor has a different
     key. One shuffle total — and the result can be written
     partitionBy(bucket) with no further movement. The MoR write path's fast
     dedup.
 
-    Payload columns participate in the sort so equal-(key, order) rows
-    resolve by the SAME struct comparison as the jvm/salted kernels and
-    LakeTable.read's MoR resolution (op 'U' beats 'D', then payload) — all
-    strategies are bit-identical even on a corrupt log with same-LSN
-    conflicting ops.
+    ``tie_cols`` resolves equal-(key, order) rows (corrupt-log / duplicate
+    delivery territory) deterministically — the max over these columns wins,
+    the same 'U'-beats-'D' rule as the other kernels. Defaults to the SCALAR
+    payload columns only (declaration order, so the engine's ``op`` leads):
+    array/map/struct payloads are excluded because maps are unorderable
+    (plan-time AnalysisException) and sorting large token arrays would pay
+    comparator cost on EVERY delta row of the hot path to break ties that —
+    for genuinely duplicated deliveries — are between identical rows anyway.
     """
     from pyspark.sql import Window as W
 
     out = df.withColumn(bucket_col, bucket_expr(F.col(key)))
     payload = [c for c in out.columns if c not in (key, order, bucket_col)]
+    if tie_cols is None:
+        types = {f.name: f.dataType for f in out.schema.fields}
+        tie_cols = [c for c in payload if isinstance(types[c], T.AtomicType)]
     shuffled = (
         out.repartition(num_partitions, bucket_col)
         if num_partitions
         else out.repartition(bucket_col)
     )
-    sorted_df = shuffled.sortWithinPartitions(bucket_col, key, order, *payload)
-    w = W.partitionBy(bucket_col).orderBy(key, order, *payload)
+    sorted_df = shuffled.sortWithinPartitions(bucket_col, key, order, *tie_cols)
+    w = W.partitionBy(bucket_col).orderBy(key, order, *tie_cols)
     nxt = F.lead(key).over(w)
     return (
         sorted_df.withColumn("_is_winner", nxt.isNull() | (nxt != F.col(key)))

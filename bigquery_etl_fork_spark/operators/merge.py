@@ -28,6 +28,34 @@ from pyspark.sql import functions as F
 
 OP_INSERT, OP_UPDATE, OP_DELETE = "I", "U", "D"
 
+# "auto" broadcast ceiling: matches the engine's broadcast_key_limit default
+# (CDCEngine). Key rows above this would brush Spark's hard 8 GiB / 512M-row
+# broadcast limits (or OOM the driver first).
+BROADCAST_KEY_LIMIT = 2_000_000
+
+
+def _maybe_broadcast(
+    delta_keys: DataFrame,
+    broadcast_keys: bool | str,
+    delta_key_count: int | None,
+) -> DataFrame:
+    """Apply the broadcast hint per the caller's policy.
+
+    ``broadcast_keys="auto"`` (the default) only forces a broadcast when the
+    caller supplies a ``delta_key_count`` at or under ``BROADCAST_KEY_LIMIT``
+    — with no count, the hint is OMITTED and Catalyst/AQE pick the join
+    strategy from observed sizes, which is the safe default for a bare
+    operator call (a forced broadcast of an unexpectedly huge delta is the
+    scale foot-gun). Explicit ``True``/``False`` keep full caller control
+    (the engine gates on its probe's key count)."""
+    if broadcast_keys == "auto":
+        broadcast_keys = (
+            delta_key_count is not None and delta_key_count <= BROADCAST_KEY_LIMIT
+        )
+    if broadcast_keys:
+        return F.broadcast(delta_keys)
+    return delta_keys
+
 
 def merge_delta(
     current: DataFrame,
@@ -35,8 +63,9 @@ def merge_delta(
     key: str = "doc_id",
     op_col: str = "op",
     payload_cols: list[str] | None = None,
-    broadcast_keys: bool = True,
+    broadcast_keys: bool | str = "auto",
     delta_keys: DataFrame | None = None,
+    delta_key_count: int | None = None,
 ) -> DataFrame:
     """Apply a LWW-deduped delta (one row per key, with op I/U/D) to current.
 
@@ -57,8 +86,7 @@ def merge_delta(
         delta_keys = deduped_delta.select(key)
     else:
         delta_keys = delta_keys.select(key).distinct()
-    if broadcast_keys:
-        delta_keys = F.broadcast(delta_keys)
+    delta_keys = _maybe_broadcast(delta_keys, broadcast_keys, delta_key_count)
     survivors = current.join(delta_keys, on=key, how="left_anti")
     upserts = deduped_delta.where(F.col(op_col) != OP_DELETE).select(
         *[F.col(c) for c in payload_cols]
@@ -75,7 +103,8 @@ def merge_delta_clustered(
     op_col: str = "op",
     payload_cols: list[str] | None = None,
     delta_keys: DataFrame | None = None,
-    broadcast_keys: bool = True,
+    broadcast_keys: bool | str = "auto",
+    delta_key_count: int | None = None,
 ) -> DataFrame:
     """merge_delta variant whose output is bucket-clustered WITHOUT shuffling
     the current-state side.
@@ -97,8 +126,7 @@ def merge_delta_clustered(
         delta_keys = deduped_delta.select(key)
     else:
         delta_keys = delta_keys.select(key).distinct()
-    if broadcast_keys:
-        delta_keys = F.broadcast(delta_keys)
+    delta_keys = _maybe_broadcast(delta_keys, broadcast_keys, delta_key_count)
     survivors = (
         current.join(delta_keys, on=key, how="left_anti")
         .select(*payload_cols)

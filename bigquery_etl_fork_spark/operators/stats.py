@@ -165,6 +165,10 @@ def glam_probe_percentiles(
         F.count("*").alias("_c")
     )
     wtot = W.partitionBy(*probe_cols, client_col)
+    # `div` truncates toward zero while DuckDB's `//` floors; identical here
+    # because _c and _tot are count(*) outputs — strictly positive — so the
+    # quotient is never negative. Keep integer div for exactness (a
+    # floor(double/) would lose bits past 2^53 at this scale factor).
     client = client.withColumn("_tot", F.sum("_c").over(wtot)).withColumn(
         "_density", F.expr(f"(_c * {scale}) div _tot")
     )

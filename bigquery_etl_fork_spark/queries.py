@@ -465,9 +465,10 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 
 
 # --------------------------------------------------------------------------
-# Near-dup detection (training-data pipeline ops): MinHash+LSH and n-gram
-# Jaccard, both with exact DuckDB oracles (md5-hex string hashing shared by
-# both engines). SimHash and embedding-LSH are rows-only (see tests).
+# Near-dup detection (training-data pipeline ops): MinHash+LSH, n-gram
+# Jaccard and SimHash, all with exact DuckDB oracles (md5 hashing is shared
+# by both engines; SimHash is pure md5 + bit arithmetic). Embedding-LSH is
+# rows-only (numpy-seeded planes; see tests).
 # --------------------------------------------------------------------------
 
 
@@ -542,6 +543,48 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(i / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.1
 """
 )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (operators.dedup_text.simhash_near_pairs):
+    60-bit per-word-md5 bit-vote signatures, 4×15-bit banded self-join,
+    exact Hamming filter — fully deterministic md5 + bit arithmetic, so the
+    DuckDB oracle reproduces it bit-for-bit like the minhash one."""
+    from .operators.dedup_text import simhash_near_pairs
+
+    d = load(spark, sf_dir, "documents")
+    p = simhash_near_pairs(d, "doc_id", "text", max_hamming=8, band_bits=15)
+    return p.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+SQL_SIMHASH = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+h AS (
+  SELECT doc_id,
+         list_sum([CAST(strpos('0123456789abcdef', substring(md5(w), i, 1)) - 1
+                        AS BIGINT) << (4 * (15 - i))
+                   for i in range(1, 16)]) AS h
+  FROM words),
+votes AS (
+  SELECT doc_id, j, sum(((h >> CAST(j AS INT)) & 1) * 2 - 1) AS v
+  FROM h, (SELECT unnest(generate_series(0, 59)) AS j) bits
+  GROUP BY doc_id, j),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, simhash, b AS band,
+         (simhash >> CAST(b * 15 AS INT)) & 32767 AS chunk
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) bands)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
 
 
 # --------------------------------------------------------------------------
@@ -817,15 +860,37 @@ FROM agg
 
 
 def q_approx_distinct(spark, sf_dir):
-    """HLL_COUNT analog — approximate, so the 'oracle' here is the EXACT
-    distinct count and the query also returns it; the pytest bound (not the
-    hash compare) validates the approx column. Kept rows-only for the
-    driver (no oracle entry)."""
+    """HLL_COUNT analog (reference SURVEY §2.4). HLL internals can't match
+    across engines, so the driver-checkable shape is: the EXACT distinct
+    count (oracle-able) plus a Spark-computed boolean asserting the approx
+    estimate landed within 5% of it — whose oracle literal is TRUE. The
+    sketch runs at rsd=0.01 so the 5% bound holds with overwhelming margin
+    (the raw estimate itself is additionally bound in
+    tests/test_queries_oracle.py)."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
     )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+"""
 
 
 
@@ -1209,7 +1274,10 @@ def q_glam_percentiles(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     obs = ev.select(
-        "event_type", "user_id", F.expr("CAST(floor(value) AS BIGINT) div 50").alias("bucket")
+        # floor division (NOT `div`, which truncates toward zero): keeps the
+        # bucket id aligned with DuckDB's `//` floor semantics on negatives
+        "event_type", "user_id",
+        F.expr("CAST(floor(floor(value) / 50) AS BIGINT)").alias("bucket"),
     )
     return glam_probe_percentiles(
         obs, probe_cols=["event_type"], client_col="user_id", bucket_col="bucket"
@@ -1250,6 +1318,39 @@ FROM pcts p JOIN ncl n ON p.event_type = n.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Tumbling-window hourly aggregate — the reference's only streaming-query
+# shape: TIMESTAMP_TRUNC(submission_timestamp, HOUR) AS window_start + fan-in
+# counts (reference sql_generators/glean_usage/templates/
+# event_monitoring_live_v1.materialized_view.sql:59-61). Batch form here;
+# the streaming form is the same plan under stream_changelog/foreachBatch.
+# window_start is compared as a formatted string (cross-engine timestamp
+# representations differ in pandas-land).
+# --------------------------------------------------------------------------
+
+
+def q_hourly_tumbling(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_HOURLY_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "join3_revenue": q_join3_revenue,
@@ -1269,6 +1370,8 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
+    "simhash_pairs": q_simhash_pairs,
+    "hourly_tumbling": q_hourly_tumbling,
     "lang_quality": q_lang_quality,
     "right_outer": q_right_outer,
     "pivot_event_values": q_pivot_event_values,
@@ -1289,7 +1392,7 @@ QUERIES = {
     "last_ignore_nulls": q_last_ignore_nulls,
     "union_distinct": q_union_distinct,
     "glam_percentiles": q_glam_percentiles,
-    "approx_distinct": q_approx_distinct,  # rows-only (approximate op)
+    "approx_distinct": q_approx_distinct,
     "cdc_replay": q_cdc_replay,
 }
 
@@ -1312,6 +1415,8 @@ ORACLES = {
     "cosine_topk": SQL_COSINE_TOPK,
     "minhash_lsh": SQL_MINHASH_LSH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "simhash_pairs": SQL_SIMHASH,
+    "hourly_tumbling": SQL_HOURLY_TUMBLING,
     "lang_quality": _sql_lang_quality(),
     "right_outer": SQL_RIGHT_OUTER,
     "pivot_event_values": SQL_PIVOT,
@@ -1332,7 +1437,8 @@ ORACLES = {
     "last_ignore_nulls": SQL_LAST_IGNORE_NULLS,
     "union_distinct": SQL_UNION_DISTINCT,
     "glam_percentiles": SQL_GLAM_PERCENTILES,
-    # approx_distinct intentionally has no oracle (approximate result);
-    # its exact bound is asserted in tests/test_queries_oracle.py
+    # the approx column itself is approximate — the oracle checks the exact
+    # count plus the (deterministically TRUE at rsd=0.01) 5%-bound boolean
+    "approx_distinct": SQL_APPROX_DISTINCT,
     "cdc_replay": SQL_CDC_REPLAY,
 }

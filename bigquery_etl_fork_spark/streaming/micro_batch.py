@@ -52,6 +52,25 @@ def discover_epochs(log_dir: str, complete_marker: str | None = None) -> list[in
     return sorted(out)
 
 
+def ready_epochs(log_dir: str, complete_marker: str | None = None) -> list[int]:
+    """Epochs safe to apply NOW, in order: the contiguous prefix of on-disk
+    epochs up to (and excluding) the first one still missing its
+    ``complete_marker``. Stopping at the gap matters: the engine fences with
+    a single watermark, so applying epoch N+1 while epoch N is mid-write
+    would advance the watermark past N and silently drop it once its marker
+    finally lands. Without a marker every on-disk epoch is ready."""
+    if complete_marker is None:
+        return discover_epochs(log_dir)
+    out = []
+    for e in discover_epochs(log_dir):
+        if not os.path.exists(
+            os.path.join(log_dir, f"epoch={e}", complete_marker)
+        ):
+            break
+        out.append(e)
+    return out
+
+
 def tail_changelog(
     engine: CDCEngine,
     log_dir: str,
@@ -71,7 +90,7 @@ def tail_changelog(
     idle_polls = 0
     while True:
         watermark = engine.table.snapshot.properties.get(WATERMARK_PROP, -1)
-        pending = [e for e in discover_epochs(log_dir, complete_marker) if e > watermark]
+        pending = [e for e in ready_epochs(log_dir, complete_marker) if e > watermark]
         if pending:
             idle_polls = 0
             for e in pending:
@@ -98,34 +117,29 @@ def stream_changelog(
     directory, ``foreachBatch`` applying each contained epoch in order.
     Returns the StreamingQuery (caller awaits termination).
 
-    Exactly-once shape: the micro-batch's rows are used only as a SIGNAL of
-    which epochs have (new) files; each signaled epoch above the watermark
-    is applied by reading its FULL ``epoch=N`` directory from the log, then
-    fenced. This stays correct when an epoch's files span micro-batches
-    (``maxFilesPerTrigger``, continuous mode): the first batch that signals
-    the epoch applies the whole directory, and later batches carrying the
-    remaining files are fenced as already applied. The remaining race — a
-    producer still WRITING the epoch directory at apply time — is closed by
-    ``complete_marker``: unmarked epochs are deferred until a later batch
-    signals them again after the marker lands."""
+    Exactly-once shape: the micro-batch's rows are used only as a TRIGGER —
+    each batch re-lists the log directory (``ready_epochs``) and applies, in
+    order, every complete epoch above the watermark by reading its FULL
+    ``epoch=N`` directory, then fencing it. Re-listing (rather than trusting
+    the batch's own rows) matters twice over: (a) Spark's file source never
+    re-delivers already-processed files, so an epoch whose data files all
+    arrived before its ``complete_marker`` landed would otherwise never be
+    re-signaled — a later batch for ANY epoch now picks it up; (b)
+    ``ready_epochs`` stops at the first unmarked epoch, so a higher epoch's
+    apply can never advance the single watermark past a still-writing lower
+    epoch and silently drop it. Split-epoch delivery (``maxFilesPerTrigger``)
+    stays correct: the first triggering batch applies the whole directory
+    and later batches carrying the remaining files find it fenced."""
     spark = engine.spark
     schema = spark.read.parquet(log_dir).schema
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        epochs = [
-            r[0]
-            for r in batch.select(engine.epoch_col).distinct().orderBy(engine.epoch_col).collect()
-        ]
         watermark = engine.table.snapshot.properties.get(WATERMARK_PROP, -1)
-        for e in epochs:
+        for e in ready_epochs(log_dir, complete_marker):
             if e <= watermark:
                 continue  # idempotent re-delivery of an applied epoch
-            epoch_dir = os.path.join(log_dir, f"epoch={e}")
-            if complete_marker is not None and not os.path.exists(
-                os.path.join(epoch_dir, complete_marker)
-            ):
-                continue  # producer mid-write; a later batch re-signals it
             # apply the complete on-disk epoch, NOT the batch slice
+            epoch_dir = os.path.join(log_dir, f"epoch={e}")
             engine.apply_epoch(e, spark.read.parquet(epoch_dir))
 
     builder = spark.readStream.schema(schema).option("basePath", log_dir)

@@ -20,23 +20,33 @@ OUTPUT_SCHEMA = "doc_id string, events_seen long, last_lsn long, is_deleted bool
 STATE_SCHEMA = "events_seen long, last_lsn long, is_deleted boolean"
 
 
+def fold_key_batches(
+    state_tuple: tuple[int, int, bool], pdfs: Iterable[pd.DataFrame]
+) -> tuple[int, int, bool]:
+    """Fold one key's micro-batch slices into (events_seen, last_lsn,
+    is_deleted). At-least-once sources may re-deliver rows already folded
+    into state; the LSN floor (only rows with lsn > last_lsn count) keeps
+    events_seen — and the LWW liveness decision — exactly-once."""
+    events_seen, last_lsn, is_deleted = state_tuple
+    for pdf in pdfs:
+        pdf = pdf[pdf["lsn"] > last_lsn]
+        if pdf.empty:
+            continue
+        events_seen += len(pdf)
+        # winner of this batch decides liveness (LWW)
+        win = pdf.loc[pdf["lsn"].idxmax()]
+        is_deleted = bool(win["op"] == "D")
+        last_lsn = int(win["lsn"])
+    return events_seen, last_lsn, is_deleted
+
+
 def running_key_state(stream: DataFrame, key: str = "doc_id") -> DataFrame:
     """Per-key running (events_seen, last_lsn, is_deleted) over a change
     stream; emits the updated state row for every key touched in a batch."""
 
     def update(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        if state.exists:
-            events_seen, last_lsn, is_deleted = state.get
-        else:
-            events_seen, last_lsn, is_deleted = 0, -1, False
-        for pdf in pdfs:
-            events_seen += len(pdf)
-            batch_max = int(pdf["lsn"].max())
-            if batch_max > last_lsn:
-                # winner of this batch decides liveness (LWW)
-                win = pdf.loc[pdf["lsn"].idxmax()]
-                is_deleted = win["op"] == "D"
-                last_lsn = batch_max
+        prev = state.get if state.exists else (0, -1, False)
+        events_seen, last_lsn, is_deleted = fold_key_batches(prev, pdfs)
         state.update((events_seen, last_lsn, is_deleted))
         yield pd.DataFrame(
             [

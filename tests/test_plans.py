@@ -74,7 +74,12 @@ def test_merge_plan_broadcasts_delta_keys(spark, tmp_path):
     delta = spark.createDataFrame(
         [("d1", 1, "U"), ("d2", 2, "D")], "doc_id string, n long, op string"
     )
-    plan = explain_string(merge_delta(current, delta, payload_cols=["doc_id", "n"]))
+    # "auto" broadcast forces the hint when the caller's key count is small
+    # (the engine passes its probe's count); test_round3_fixes covers the
+    # no-count and over-limit cases staying un-forced.
+    plan = explain_string(
+        merge_delta(current, delta, payload_cols=["doc_id", "n"], delta_key_count=2)
+    )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
