@@ -7,6 +7,11 @@
   pseudo-random planes (seeded from xxhash64, JVM-side), signature = H sign
   bits, banded equality join for candidates, exact re-score. The scale path:
   candidate generation is linear in rows × bands instead of quadratic.
+- ``sign_lsh_topk_pairs`` — the same banded sign-LSH pipeline with
+  ±1 plane weights derived from md5 (``deterministic_sign_planes``): no RNG
+  state anywhere, so an independent SQL engine reproduces the signatures,
+  bands, candidates and rescoring bit-for-bit — the oracle-checkable form
+  of the embedding near-dup family (``queries.q_signlsh_topk_pairs``).
 """
 
 from __future__ import annotations
@@ -42,18 +47,17 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     return F.array(*bits)
 
 
-def lsh_candidate_pairs(
+def _banded_candidate_pairs(
     df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    num_planes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.6,
-    seed: int = 7,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    bands: int,
 ) -> DataFrame:
-    """Near-dup embedding pairs: LSH band join → exact cosine filter."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = _planes(dim, num_planes, seed)
+    """Shared banded-LSH candidate generation: sign signature → band keys →
+    self-equi-join → distinct (id_a, id_b, va, vb). One explode + one
+    equi-join; linear in rows × bands, never quadratic."""
+    num_planes = len(planes)
     v = F.col(vec_col).cast("array<double>")
     sig = df.select(
         id_col,
@@ -74,7 +78,7 @@ def lsh_candidate_pairs(
         id_col, vec_col, "bk.band", "bk.key"
     )
     a, b2 = banded.alias("a"), banded.alias("b")
-    cand = (
+    return (
         a.join(
             b2,
             (F.col("a.band") == F.col("b.band"))
@@ -89,10 +93,63 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup embedding pairs: LSH band join → exact cosine filter."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _planes(dim, num_planes, seed)
+    cand = _banded_candidate_pairs(df, id_col, vec_col, planes, bands)
     sim = cosine_sim(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
     return (
         cand.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def deterministic_sign_planes(dim: int, num_planes: int) -> list[list[float]]:
+    """±1 plane weights from md5(p:j) — no RNG state, reproducible in any
+    engine or runtime, which is what makes the sign-LSH pipeline
+    oracle-checkable cross-engine (numpy-seeded planes are not)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0], 16) < 8 else -1.0
+            for j in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def sign_lsh_topk_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most-similar candidate pairs through the full deterministic
+    sign-LSH pipeline (signature → bands → candidate join → exact cosine
+    rescore → ordered top-k). No threshold: on a corpus with no true
+    near-dups this still exercises — and oracle-checks — every stage."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = deterministic_sign_planes(dim, num_planes)
+    cand = _banded_candidate_pairs(df, id_col, vec_col, planes, bands)
+    sim = cosine_sim(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+    return (
+        cand.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
+        .limit(k)
     )
 
 

@@ -545,6 +545,59 @@ WHERE round(i / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.1
 )
 
 
+def q_signlsh_topk_pairs(spark, sf_dir):
+    """Embedding near-dup via deterministic sign-LSH (md5-derived ±1 plane
+    weights — operators.similarity.deterministic_sign_planes): signature →
+    4 bands → candidate self-join → exact cosine rescore → top-20. The
+    oracle reproduces every stage; the fixture corpus has no true near-dups
+    (max pairwise cos ≈ 0.5), so the top-k form — not a threshold — is what
+    makes the row non-trivial."""
+    from .operators.similarity import sign_lsh_topk_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return sign_lsh_topk_pairs(emb, "vec_id", "embedding", num_planes=16, bands=4, k=20)
+
+
+def _sql_signlsh(num_planes: int = 16, bands: int = 4, k: int = 20, dim: int = 64) -> str:
+    # dim=64 matches the driver's embeddings fixture at every sf; the Spark
+    # side reads dim from data, the oracle embeds the same md5-derived
+    # weights as literals (exactly how cosine_topk embeds its query vector)
+    from .operators.similarity import deterministic_sign_planes
+
+    planes = deterministic_sign_planes(dim, num_planes)
+    rpb = num_planes // bands
+    bits = ",\n         ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ",".join(str(x) for x in planes[p])
+        + "]) >= 0 THEN 1 ELSE 0 END"
+        for p in range(num_planes)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {b} AS band, "
+        + "||".join(f"CAST(bits[{b * rpb + j + 1}] AS VARCHAR)" for j in range(rpb))
+        + " AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v,
+        [{bits}] AS bits FROM s),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       round(list_dot_product(va, vb)
+             / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)
+         AS cos_sim
+FROM cand ORDER BY cos_sim DESC, id_a, id_b LIMIT {k}
+"""
+
+
+SQL_SIGNLSH_TOPK = _sql_signlsh()
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (operators.dedup_text.simhash_near_pairs):
     60-bit per-word-md5 bit-vote signatures, 4×15-bit banded self-join,
@@ -1371,6 +1424,7 @@ QUERIES = {
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
+    "signlsh_topk_pairs": q_signlsh_topk_pairs,
     "hourly_tumbling": q_hourly_tumbling,
     "lang_quality": q_lang_quality,
     "right_outer": q_right_outer,
@@ -1416,6 +1470,7 @@ ORACLES = {
     "minhash_lsh": SQL_MINHASH_LSH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash_pairs": SQL_SIMHASH,
+    "signlsh_topk_pairs": SQL_SIGNLSH_TOPK,
     "hourly_tumbling": SQL_HOURLY_TUMBLING,
     "lang_quality": _sql_lang_quality(),
     "right_outer": SQL_RIGHT_OUTER,

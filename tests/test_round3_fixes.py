@@ -330,6 +330,37 @@ def test_map_mode_last_and_keyed_scalar_sum(spark):
     assert got == {"a": 5, "b": 13}
 
 
+# ---------------- deterministic sign-LSH -----------------------------------
+
+
+def test_deterministic_sign_planes_stable():
+    from bigquery_etl_fork_spark.operators.similarity import (
+        deterministic_sign_planes,
+    )
+
+    p1 = deterministic_sign_planes(8, 4)
+    p2 = deterministic_sign_planes(8, 4)
+    assert p1 == p2  # no RNG state — reproducible anywhere
+    assert all(x in (1.0, -1.0) for row in p1 for x in row)
+    assert any(x == -1.0 for row in p1 for x in row)
+    assert any(x == 1.0 for row in p1 for x in row)
+
+
+def test_sign_lsh_pairs_contains_true_duplicate(spark):
+    from bigquery_etl_fork_spark.operators.similarity import sign_lsh_topk_pairs
+
+    rows = [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(16)]) for i in range(40)]
+    rows.append((99, rows[0][1]))  # exact duplicate of vec 0
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    top = sign_lsh_topk_pairs(df, "vec_id", "embedding", num_planes=16, bands=4, k=5)
+    got = [(r["id_a"], r["id_b"], r["cos_sim"]) for r in top.collect()]
+    # an identical vector shares every band -> must surface at cos 1.0
+    # (the modular construction repeats with period 13, so (0,13) etc. are
+    # ALSO exact duplicates and legitimately rank alongside it)
+    assert (0, 99, 1.0) in got, got
+    assert all(s == 1.0 for _, _, s in got), got
+
+
 # ---------------- approx_distinct raw bound --------------------------------
 
 
