@@ -1327,8 +1327,11 @@ def q_glam_percentiles(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     obs = ev.select(
-        # floor division (NOT `div`, which truncates toward zero): keeps the
-        # bucket id aligned with DuckDB's `//` floor semantics on negatives
+        # explicit floor division: Spark `div` AND DuckDB integer `//` both
+        # truncate toward zero, so either bare form is engine-consistent but
+        # doubles the zero bucket's width on negatives; floor(double-div) on
+        # BOTH sides keeps buckets uniform (tested on negatives in
+        # tests/test_round3_fixes.py)
         "event_type", "user_id",
         F.expr("CAST(floor(floor(value) / 50) AS BIGINT)").alias("bucket"),
     )
@@ -1339,7 +1342,9 @@ def q_glam_percentiles(spark, sf_dir):
 
 SQL_GLAM_PERCENTILES = """
 WITH client AS (
-  SELECT event_type, user_id, CAST(floor(value) AS BIGINT) // 50 AS bucket,
+  -- explicit floor: DuckDB's integer `//` truncates toward zero (like
+  -- Spark's `div`), so both engines use floor(double-div) for the bucket
+  SELECT event_type, user_id, CAST(floor(floor(value) / 50) AS BIGINT) AS bucket,
          count(*) AS c
   FROM events GROUP BY event_type, user_id, bucket),
 dens AS (

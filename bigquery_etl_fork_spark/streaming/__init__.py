@@ -1,3 +1,10 @@
 from .micro_batch import discover_epochs, ready_epochs, stream_changelog, tail_changelog
+from .windowed import tumbling_window_counts
 
-__all__ = ["discover_epochs", "stream_changelog", "tail_changelog"]
+__all__ = [
+    "discover_epochs",
+    "ready_epochs",
+    "stream_changelog",
+    "tail_changelog",
+    "tumbling_window_counts",
+]

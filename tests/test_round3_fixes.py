@@ -361,6 +361,54 @@ def test_sign_lsh_pairs_contains_true_duplicate(spark):
     assert all(s == 1.0 for _, _, s in got), got
 
 
+# ---------------- GLAM bucket: floor division on negatives -----------------
+
+
+def test_glam_bucket_floor_division_matches_duckdb_on_negatives(spark):
+    """Bucket ids must agree across engines and use uniform-width buckets.
+    Spark `div` and DuckDB integer `//` BOTH truncate toward zero (measured:
+    -101 // 50 = -2 in DuckDB), so the bare integer-division forms agree but
+    give the zero bucket double width on negatives; both sides now use an
+    explicit floor(double-division), which this test pins on negatives."""
+    import duckdb
+
+    vals = [-101.0, -100.0, -99.5, -50.0, -1.5, -0.5, 0.0, 0.5, 49.9, 50.0, 101.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = [
+        r[0]
+        for r in df.select(
+            F.expr("CAST(floor(floor(value) / 50) AS BIGINT)")
+        ).collect()
+    ]
+    exp = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT CAST(floor(floor(v) / 50) AS BIGINT) FROM (SELECT unnest(["
+            + ",".join(str(v) for v in vals)
+            + "]) AS v)"
+        ).fetchall()
+    ]
+    assert got == exp, (got, exp)
+    # the truncating forms (Spark `div` / DuckDB integer `//`) also agree
+    # with each other — but differ from floor on negatives (the zero bucket
+    # would span (-50, 50) instead of uniform width-50 buckets), so both
+    # sides use the explicit floor form
+    trunc_spark = [
+        r[0]
+        for r in df.select(F.expr("CAST(floor(value) AS BIGINT) div 50")).collect()
+    ]
+    trunc_duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT CAST(floor(v) AS BIGINT) // 50 FROM (SELECT unnest(["
+            + ",".join(str(v) for v in vals)
+            + "]) AS v)"
+        ).fetchall()
+    ]
+    assert trunc_spark == trunc_duck
+    assert trunc_spark != got
+
+
 # ---------------- approx_distinct raw bound --------------------------------
 
 
