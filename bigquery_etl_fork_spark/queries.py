@@ -554,11 +554,15 @@ def q_signlsh_topk_pairs(spark, sf_dir):
     makes the row non-trivial."""
     from .operators.similarity import sign_lsh_topk_pairs
 
+    # 8-bit bands (32 planes / 4 bands): a random pair collides in some band
+    # with p ≈ 4/256 — candidate volume stays ~1.6% of the quadratic pair
+    # space, the LSH property that keeps this near-linear at corpus scale
+    # (4-bit bands would admit 25% of ALL pairs as candidates)
     emb = load(spark, sf_dir, "embeddings")
-    return sign_lsh_topk_pairs(emb, "vec_id", "embedding", num_planes=16, bands=4, k=20)
+    return sign_lsh_topk_pairs(emb, "vec_id", "embedding", num_planes=32, bands=4, k=20)
 
 
-def _sql_signlsh(num_planes: int = 16, bands: int = 4, k: int = 20, dim: int = 64) -> str:
+def _sql_signlsh(num_planes: int = 32, bands: int = 4, k: int = 20, dim: int = 64) -> str:
     # dim=64 matches the driver's embeddings fixture at every sf; the Spark
     # side reads dim from data, the oracle embeds the same md5-derived
     # weights as literals (exactly how cosine_topk embeds its query vector)
@@ -573,25 +577,25 @@ def _sql_signlsh(num_planes: int = 16, bands: int = 4, k: int = 20, dim: int = 6
         for p in range(num_planes)
     )
     band_selects = "\nUNION ALL\n".join(
-        f"SELECT vec_id, v, {b} AS band, "
+        f"SELECT vec_id, u, {b} AS band, "
         + "||".join(f"CAST(bits[{b * rpb + j + 1}] AS VARCHAR)" for j in range(rpb))
         + " AS key FROM sig"
         for b in range(bands)
     )
+    # signature bits use the RAW vector; the carried vector is
+    # unit-normalized (same per-element division as the Spark side) so the
+    # rescore is a single dot product — identical float sequence both sides
     return f"""
 WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-sig AS (SELECT vec_id, v,
+sig AS (SELECT vec_id,
+        [x / sqrt(list_dot_product(v, v)) for x in v] AS u,
         [{bits}] AS bits FROM s),
-banded AS ({band_selects}),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-SELECT id_a, id_b,
-       round(list_dot_product(va, vb)
-             / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)
-         AS cos_sim
-FROM cand ORDER BY cos_sim DESC, id_a, id_b LIMIT {k}
+banded AS ({band_selects})
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.u, b.u), 6) AS cos_sim
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, id_a, id_b LIMIT {k}
 """
 
 
