@@ -212,14 +212,27 @@ class CDCEngine:
           to the table, then replay from those pruned dirs (removed after
           the replay; a crash before cleanup leaves only reclaimable
           scratch, never state).
+
+        On the relayout path, already-committed epochs are EXCLUDED from the
+        rewrite (the watermark is monotone, so this is safe even though
+        fencing re-checks inside the loop): a crash-resume of a 100-epoch
+        log relays out only the remaining epochs, not the whole log again.
+        (The partitioned path needs no such filter — its per-epoch slices
+        are lazy and never evaluated for fenced epochs.) NULL epoch values
+        are rejected loudly on both paths.
         """
         files = log.inputFiles()
         partitioned = bool(files) and all(f"/{self.epoch_col}=" in f for f in files)
+        epochs = [
+            r[0]
+            for r in log.select(self.epoch_col).distinct().orderBy(self.epoch_col).collect()
+        ]
+        if any(e is None for e in epochs):
+            raise ValueError(
+                f"change log contains NULL {self.epoch_col!r} values; "
+                "every event must carry its epoch"
+            )
         if partitioned:
-            epochs = [
-                r[0]
-                for r in log.select(self.epoch_col).distinct().orderBy(self.epoch_col).collect()
-            ]
             self._epoch_bytes_hint = self._estimate_bytes(log) // max(len(epochs), 1)
             return (
                 ((e, log.where(F.col(self.epoch_col) == F.lit(e))) for e in epochs),
@@ -229,33 +242,43 @@ class CDCEngine:
         import shutil
         import uuid as _uuid
 
-        scratch = os.path.join(
-            self.table.root, f"_epoch_relayout_{_uuid.uuid4().hex[:8]}"
-        )
-        log.write.partitionBy(self.epoch_col).parquet(scratch)
-        epochs = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(scratch)
-            if d.startswith(f"{self.epoch_col}=")
-        )
-        self._epoch_bytes_hint = (
-            sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _, fs in os.walk(scratch)
-                for f in fs
+        watermark = self.table.snapshot.properties.get(WATERMARK_PROP, -1)
+        pending = [e for e in epochs if e > watermark]
+        scratch = None
+        if pending:
+            scratch = os.path.join(
+                self.table.root, f"_epoch_relayout_{_uuid.uuid4().hex[:8]}"
             )
-            // max(len(epochs), 1)
-        )
-        batches = (
-            (
-                e,
-                self.spark.read.parquet(
-                    os.path.join(scratch, f"{self.epoch_col}={e}")
-                ),
+            log.where(F.col(self.epoch_col) > F.lit(watermark)).write.partitionBy(
+                self.epoch_col
+            ).parquet(scratch)
+            self._epoch_bytes_hint = (
+                sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for root, _, fs in os.walk(scratch)
+                    for f in fs
+                )
+                // len(pending)
             )
-            for e in epochs
+
+        def batches():
+            for e in epochs:
+                if e > watermark:
+                    yield (
+                        e,
+                        self.spark.read.parquet(
+                            os.path.join(scratch, f"{self.epoch_col}={e}")
+                        ),
+                    )
+                else:
+                    # fenced epoch: the replay loop records it as skipped
+                    # without ever touching the (never-relaid-out) slice
+                    yield (e, None)
+
+        cleanup = (
+            (lambda: shutil.rmtree(scratch, ignore_errors=True)) if scratch else None
         )
-        return batches, lambda: shutil.rmtree(scratch, ignore_errors=True)
+        return batches(), cleanup
 
     def _estimate_bytes(self, df: DataFrame) -> int:
         """Cheap input-size estimate from the scan's file list (driver-side)."""

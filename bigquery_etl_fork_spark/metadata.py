@@ -59,7 +59,9 @@ _CHECK_BUILDERS = {
 class TableConfig:
     name: str
     schema: T.StructType
-    num_buckets: int | None = 32
+    # None = LakeTable.create auto-sizes to >=4x cluster parallelism — the
+    # right default for a declarative config that doesn't know the cluster
+    num_buckets: int | None = None
     properties: dict[str, Any] = field(default_factory=dict)
     engine_kwargs: dict[str, Any] = field(default_factory=dict)
     checks: list[C.Check] = field(default_factory=list)
@@ -90,7 +92,7 @@ def parse_table_config(doc: dict) -> TableConfig:
     return TableConfig(
         name=tbl["name"],
         schema=schema,
-        num_buckets=tbl.get("num_buckets", 32),
+        num_buckets=tbl.get("num_buckets"),  # omitted/null -> auto-size
         properties=properties,
         engine_kwargs=dict(doc.get("engine") or {}),
         checks=checks,

@@ -53,21 +53,30 @@ def discover_epochs(log_dir: str, complete_marker: str | None = None) -> list[in
 
 
 def ready_epochs(log_dir: str, complete_marker: str | None = None) -> list[int]:
-    """Epochs safe to apply NOW, in order: the contiguous prefix of on-disk
-    epochs up to (and excluding) the first one still missing its
-    ``complete_marker``. Stopping at the gap matters: the engine fences with
-    a single watermark, so applying epoch N+1 while epoch N is mid-write
-    would advance the watermark past N and silently drop it once its marker
-    finally lands. Without a marker every on-disk epoch is ready."""
+    """Epochs safe to apply NOW, in order: the prefix of on-disk epochs up
+    to (and excluding) the first one still missing its ``complete_marker``
+    — or the first HOLE in the epoch numbering, which is an epoch whose
+    directory a (parallel) producer hasn't even created yet. Stopping at
+    either gap matters: the engine fences with a single watermark, so
+    applying epoch N+1 while epoch N is mid-write (or not yet on disk)
+    would advance the watermark past N and silently drop it once it lands.
+    Corollary of marker mode: epoch ids must be dense — a deliberately
+    skipped id would stall the tailer (loudly detectable) rather than lose
+    data (silent). Without a marker the producer is declaring directory
+    creation atomic, and every on-disk epoch is ready."""
     if complete_marker is None:
         return discover_epochs(log_dir)
     out = []
+    prev = None
     for e in discover_epochs(log_dir):
+        if prev is not None and e != prev + 1:
+            break  # numbering hole: epoch prev+1 not created yet
         if not os.path.exists(
             os.path.join(log_dir, f"epoch={e}", complete_marker)
         ):
             break
         out.append(e)
+        prev = e
     return out
 
 

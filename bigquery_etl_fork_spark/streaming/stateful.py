@@ -26,12 +26,20 @@ def fold_key_batches(
     """Fold one key's micro-batch slices into (events_seen, last_lsn,
     is_deleted). At-least-once sources may re-deliver rows already folded
     into state; the LSN floor (only rows with lsn > last_lsn count) keeps
-    events_seen — and the LWW liveness decision — exactly-once."""
+    events_seen — and the LWW liveness decision — exactly-once.
+
+    All of the batch's chunks are concatenated BEFORE the floor is applied:
+    applyInPandasWithState delivers one key's rows as multiple pandas
+    chunks in arbitrary intra-batch order, so filtering chunk-by-chunk
+    would drop a legitimately new low-LSN row that happened to arrive in a
+    chunk after a higher-LSN one."""
     events_seen, last_lsn, is_deleted = state_tuple
-    for pdf in pdfs:
-        pdf = pdf[pdf["lsn"] > last_lsn]
-        if pdf.empty:
-            continue
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return events_seen, last_lsn, is_deleted
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    pdf = pdf[pdf["lsn"] > last_lsn]
+    if not pdf.empty:
         events_seen += len(pdf)
         # winner of this batch decides liveness (LWW)
         win = pdf.loc[pdf["lsn"].idxmax()]

@@ -33,16 +33,31 @@ def publish_view(
 
     ``schema``: the published contract. The view's output is projected onto
     it (missing columns → typed NULL, widening casts applied, column order
-    fixed). ``strict=True`` additionally requires the underlying DataFrame
-    to be write-compatible with the contract (no incompatible type changes)
-    — the reference's view-vs-schema validation. ``global_view`` registers
-    in ``global_temp`` (visible across sessions of this SparkContext)."""
+    fixed; extra underlying columns hidden). ``strict=True`` additionally
+    requires every contract column to actually EXIST in the underlying
+    DataFrame with a write-compatible type — the reference's view-vs-schema
+    validation (a strict view never serves a silently-all-NULL or narrowed
+    column). Extra underlying columns are fine in strict mode too: hiding
+    them is the view's job, not a contract violation. ``global_view``
+    registers in ``global_temp`` (visible across sessions of this
+    SparkContext)."""
     if schema is not None:
-        if strict and not is_write_compatible(df.schema, schema):
-            raise ValueError(
-                f"view {name!r}: underlying schema is not write-compatible "
-                f"with the published contract"
-            )
+        if strict:
+            present = {f.name.lower(): f for f in df.schema.fields}
+            missing = [f.name for f in schema.fields if f.name.lower() not in present]
+            if missing:
+                raise ValueError(
+                    f"view {name!r}: contract columns missing from the "
+                    f"underlying relation: {missing}"
+                )
+            # compare only the contract's slice of the underlying schema so
+            # hidden extra columns don't fail the direction check
+            sub = T.StructType([present[f.name.lower()] for f in schema.fields])
+            if not is_write_compatible(sub, schema):
+                raise ValueError(
+                    f"view {name!r}: underlying schema is not write-compatible "
+                    f"with the published contract"
+                )
         df = compat_select(df, schema)
     if global_view:
         df.createOrReplaceGlobalTempView(name)

@@ -330,6 +330,142 @@ def test_map_mode_last_and_keyed_scalar_sum(spark):
     assert got == {"a": 5, "b": 13}
 
 
+# ---------------- self-review fixes -----------------------------------------
+
+
+def test_fold_key_batches_out_of_order_chunks():
+    """Chunks of ONE batch arrive in arbitrary intra-key order; a low-LSN
+    row in a later chunk is still new and must count."""
+    from bigquery_etl_fork_spark.streaming.stateful import fold_key_batches
+
+    c1 = pd.DataFrame({"lsn": [10], "op": ["U"]})
+    c2 = pd.DataFrame({"lsn": [5], "op": ["U"]})
+    state = fold_key_batches((0, -1, False), [c1, c2])
+    assert state == (2, 10, False)
+
+
+def test_ready_epochs_stops_at_directory_hole(tmp_path):
+    """A missing epoch DIRECTORY (parallel producer hasn't created it yet)
+    is the same hazard as a missing marker: later epochs must not apply."""
+    from bigquery_etl_fork_spark.streaming.micro_batch import ready_epochs
+
+    for e in (1, 2, 4):  # epoch 3's directory does not exist yet
+        (tmp_path / f"epoch={e}").mkdir()
+        (tmp_path / f"epoch={e}" / "_SUCCESS").touch()
+    assert ready_epochs(str(tmp_path), "_SUCCESS") == [1, 2]
+    (tmp_path / "epoch=3").mkdir()
+    (tmp_path / "epoch=3" / "_SUCCESS").touch()
+    assert ready_epochs(str(tmp_path), "_SUCCESS") == [1, 2, 3, 4]
+
+
+def test_publish_view_strict_directions(spark):
+    """strict: extra underlying columns are fine (the view hides them);
+    a contract column MISSING from the relation is the violation."""
+    from pyspark.sql import types as T
+
+    from bigquery_etl_fork_spark.views import publish_view
+
+    df = spark.createDataFrame([("a", 1, 99)], "doc_id string, n_tok int, _internal int")
+    contract = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("n_tok", T.LongType())]
+    )
+    out = publish_view(spark, "v_strict_ok", df, schema=contract, strict=True)
+    assert out.columns == ["doc_id", "n_tok"]
+    missing = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("lang", T.StringType())]
+    )
+    with pytest.raises(ValueError, match="missing from the underlying"):
+        publish_view(spark, "v_strict_missing", df, schema=missing, strict=True)
+
+
+def test_metadata_omitted_num_buckets_autosizes(spark, tmp_path):
+    from bigquery_etl_fork_spark.metadata import create_table, parse_table_config
+
+    cfg = parse_table_config(
+        {"table": {"name": "auto_t"}, "schema": [{"name": "doc_id", "type": "string"}]}
+    )
+    assert cfg.num_buckets is None
+    t = create_table(spark, str(tmp_path), cfg)
+    # LakeTable auto-size: >= 4x parallelism, min 64 — never the old fixed 32
+    assert t.snapshot.num_buckets >= 64
+
+
+def test_relayout_resume_skips_committed_epochs(spark, unpart_log):
+    """Crash-resume over an unpartitioned log must relay out ONLY the
+    still-pending epochs (not rewrite the whole log), while still reporting
+    the fenced epochs as skipped."""
+    from bigquery_etl_fork_spark.engine.cdc import SimulatedCrash
+
+    t = unpart_log["t"]
+    eng = CDCEngine(spark, t, count_input=False)
+    log_df = spark.read.parquet(str(unpart_log["dir"] / "log.parquet"))
+    with pytest.raises(SimulatedCrash):
+        eng.replay(log_df, fail_after_epoch=2)
+    assert t.snapshot.properties["epoch_watermark"] == 2
+
+    batches, cleanup = eng._plan_batches(log_df)
+    try:
+        slices = dict(batches)
+    finally:
+        if cleanup:
+            cleanup()
+    # fenced epochs are reported with a never-read None slice
+    assert slices[1] is None and slices[2] is None
+    assert slices[3] is not None and slices[4] is not None
+    assert all(f"/epoch={e}" in f for e in (3, 4) for f in slices[e].inputFiles())
+
+    stats = eng.replay(log_df)
+    assert [e.epoch for e in stats.epochs if e.skipped] == [1, 2]
+    assert [e.epoch for e in stats.epochs if not e.skipped] == [3, 4]
+    assert_states_equal(
+        t.read().toPandas(), replay_oracle(unpart_log["base"], unpart_log["log"])
+    )
+
+
+def test_replay_rejects_null_epochs(spark, tmp_path):
+    base = datagen.base_table(n_docs=10, seed=91)
+    base_df = spark.createDataFrame(base.to_pandas())
+    t = LakeTable.create(spark, str(tmp_path / "t"), base_df.schema, num_buckets=2)
+    t.overwrite_all(base_df, key_col="doc_id")
+    log = spark.createDataFrame(
+        [(1, None, "U", "d1"), (2, 1, "U", "d2")],
+        "lsn long, epoch int, op string, doc_id string",
+    )
+    with pytest.raises(ValueError, match="NULL 'epoch'"):
+        CDCEngine(spark, t, count_input=False).replay(log)
+
+
+def test_bucket_clustered_tie_break_matches_jvm_on_conflicting_payloads(spark):
+    """Corrupt log: same (key, lsn, op) with DIFFERENT array payloads. All
+    kernels must pick the same winner (max over the payload struct), so the
+    engine's auto-probe can never make the final state depend on which
+    physical strategy it happened to choose."""
+    from bigquery_etl_fork_spark.lake import bucket_id
+    from bigquery_etl_fork_spark.operators.dedup_lww import (
+        lww_dedup,
+        lww_dedup_bucket_clustered,
+        lww_dedup_salted,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "U", [1, 9]),
+            ("a", 1, "U", [2, 0]),
+            ("b", 2, "U", [5]),
+        ],
+        "doc_id string, lsn long, op string, tokens array<int>",
+    )
+
+    def got(out):
+        return {r["doc_id"]: r["tokens"] for r in out.collect()}
+
+    expected = {"a": [2, 0], "b": [5]}  # max struct: [2,0] > [1,9]
+    assert got(lww_dedup(df, mode="jvm")) == expected
+    assert got(lww_dedup_salted(df)) == expected
+    bc = lww_dedup_bucket_clustered(df, lambda c: bucket_id(c, 4), "_b").drop("_b")
+    assert got(bc) == expected
+
+
 # ---------------- deterministic sign-LSH -----------------------------------
 
 
