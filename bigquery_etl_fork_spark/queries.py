@@ -614,8 +614,7 @@ def q_simhash_pairs(spark, sf_dir):
     return p.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
-SQL_SIMHASH = """
-WITH words AS (
+_SQL_SIMHASH_CTES = """words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 h AS (
   SELECT doc_id,
@@ -635,13 +634,19 @@ sigs AS (
 banded AS (
   SELECT doc_id, simhash, b AS band,
          (simhash >> CAST(b * 15 AS INT)) & 32767 AS chunk
-  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) bands)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-"""
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) bands),
+simpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8)"""
+
+SQL_SIMHASH = (
+    "WITH "
+    + _SQL_SIMHASH_CTES
+    + "\nSELECT doc_a, doc_b, hamming FROM simpairs"
+)
 
 
 # --------------------------------------------------------------------------
@@ -1413,6 +1418,108 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Duplicate clusters: near-dup pairs -> connected components -> keep-list.
+# The grouping half of dedup that pair queries alone don't give you; the
+# reference's copy_deduplicate keeps one row per document_id
+# (bigquery_etl/cli/_utils + script/copy_deduplicate), which at pair-graph
+# scale requires a distributed fixed point, not a driver union-find.
+# --------------------------------------------------------------------------
+
+
+def q_dup_clusters(spark, sf_dir):
+    """SimHash near-dup pairs -> alternating large/small-star connected
+    components -> per-doc (cluster_id, cluster_size, is_canonical).
+    The DuckDB oracle replays the identical md5 pair math and closes the
+    graph with a recursive CTE (min-label transitive closure)."""
+    from .operators.cluster import dedup_clusters
+    from .operators.dedup_text import simhash_near_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(d, "doc_id", "text", max_hamming=8, band_bits=15)
+    return dedup_clusters(d, pairs, id_col="doc_id", src="doc_a", dst="doc_b")
+
+
+SQL_DUP_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _SQL_SIMHASH_CTES
+    + """,
+edges AS (SELECT doc_a AS u, doc_b AS v FROM simpairs
+          UNION SELECT doc_b, doc_a FROM simpairs),
+reach(node, label) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+sized AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM assigned GROUP BY cluster_id)
+SELECT a.doc_id, a.cluster_id, s.cluster_size,
+       a.doc_id = a.cluster_id AS is_canonical
+FROM assigned a JOIN sized s USING (cluster_id)
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: variable-length docs -> fixed-capacity training
+# sequences (the tokens-payload batch-prep stage). Greedy first-fit in id
+# order within hash buckets; the oracle replays the greedy scan with a
+# recursive CTE stepping one doc at a time per bucket.
+# --------------------------------------------------------------------------
+
+
+def q_pack_sequences(spark, sf_dir):
+    from .operators.packing import pack_sequences
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+    )
+    packed = pack_sequences(
+        d, "doc_id", "n_tok", max_len=256,
+        bucket=F.pmod("doc_id", F.lit(8)).cast("int"),
+    )
+    return packed.select(
+        "bucket",
+        "seq_idx",
+        "n_docs",
+        "n_tok",
+        F.array_join(
+            F.transform("doc_ids", lambda x: x.cast("string")), ","
+        ).alias("doc_ids"),
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE d AS (
+  SELECT CAST(doc_id % 8 AS INT) AS bucket, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+              AS BIGINT) AS rn
+  FROM documents),
+g AS (
+    SELECT bucket, rn, doc_id, n_tok, 0 AS seq_idx, n_tok AS acc
+    FROM d WHERE rn = 1
+  UNION ALL
+    SELECT d.bucket, d.rn, d.doc_id, d.n_tok,
+           CASE WHEN g.acc + d.n_tok <= 256 THEN g.seq_idx
+                ELSE g.seq_idx + 1 END,
+           CASE WHEN g.acc + d.n_tok <= 256 THEN g.acc + d.n_tok
+                ELSE d.n_tok END
+    FROM g JOIN d ON d.bucket = g.bucket AND d.rn = g.rn + 1)
+SELECT bucket, seq_idx, CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM g GROUP BY bucket, seq_idx
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "join3_revenue": q_join3_revenue,
@@ -1456,6 +1563,8 @@ QUERIES = {
     "union_distinct": q_union_distinct,
     "glam_percentiles": q_glam_percentiles,
     "approx_distinct": q_approx_distinct,
+    "dup_clusters": q_dup_clusters,
+    "pack_sequences": q_pack_sequences,
     "cdc_replay": q_cdc_replay,
 }
 
@@ -1504,5 +1613,7 @@ ORACLES = {
     # the approx column itself is approximate — the oracle checks the exact
     # count plus the (deterministically TRUE at rsd=0.01) 5%-bound boolean
     "approx_distinct": SQL_APPROX_DISTINCT,
+    "dup_clusters": SQL_DUP_CLUSTERS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "cdc_replay": SQL_CDC_REPLAY,
 }
