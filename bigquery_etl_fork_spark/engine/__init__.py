@@ -1,3 +1,10 @@
 from .cdc import CDCEngine, EpochStats, ReplayStats, SimulatedCrash
+from .rollup import IncrementalRollup
 
-__all__ = ["CDCEngine", "EpochStats", "ReplayStats", "SimulatedCrash"]
+__all__ = [
+    "CDCEngine",
+    "EpochStats",
+    "IncrementalRollup",
+    "ReplayStats",
+    "SimulatedCrash",
+]

@@ -1,0 +1,244 @@
+"""Incrementally-maintained aggregate tables (materialized views) driven by
+the lake table's change feed.
+
+The reference keeps per-app "live" tables plus scheduled materialized views
+over them (sql_generators/glean_usage/templates/
+event_monitoring_live_v1.materialized_view.sql — hourly counts over the
+events stream, refreshed by rescanning the window). At 10^10-event scale a
+rescan per refresh is the wrong shape: an additive aggregate (count / sum,
+and anything derivable from them) can be maintained from row-level changes
+alone — retract each changed key's contribution as of the last refresh,
+add its contribution now, and fold the per-group net delta into the stored
+rollup. Work per refresh is O(changed keys + affected groups), never
+O(table).
+
+Exactly-once: the rollup is itself a LakeTable, and every refresh commits
+the data rewrite and the new ``rollup_source_version`` pointer in ONE
+snapshot commit — a crashed refresh leaves the pointer unmoved and the next
+refresh redoes the same closed version range (same inputs, same result); a
+duplicate refresh sees ``from == to`` and no-ops. The same epoch-fencing
+idea the CDC apply path uses, applied one level up.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake.table import BUCKET_COL, LakeTable
+
+__all__ = ["IncrementalRollup"]
+
+_VERSION_PROP = "rollup_source_version"
+_NROWS = "n_rows"
+
+
+def _group_bucket(group_cols: list[str], num_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(*group_cols), F.lit(num_buckets)).cast("int")
+
+
+class IncrementalRollup:
+    """An additive GROUP BY rollup over a source LakeTable, stored as its
+    own LakeTable and refreshed incrementally from ``source.changes()``.
+
+    ``measures`` maps output column -> ("count", None) | ("sum", input_col).
+    A hidden ``n_rows`` count is always maintained so groups whose last
+    contributing row is deleted disappear from the rollup (exactly like the
+    GROUP BY it shadows). Sums over integer columns are exact; sums over
+    floating columns accumulate retraction round-off — store money/metrics
+    as integers or decimals, same rule the oracle-compare layer follows.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: LakeTable,
+        target_root: str,
+        group_cols: list[str],
+        measures: dict[str, tuple[str, str | None]],
+        key_col: str | None = None,
+    ):
+        self.spark = spark
+        self.source = source
+        self.group_cols = list(group_cols)
+        self.measures = dict(measures)
+        for name, (kind, _col) in self.measures.items():
+            if kind not in ("count", "sum"):
+                raise ValueError(f"measure {name}: unsupported kind {kind!r}")
+        self.key_col = key_col or source.snapshot.properties.get("key_col")
+        if self.key_col is None:
+            raise ValueError("key_col required (pass it or set table property)")
+        if LakeTable.exists(target_root):
+            self.target = LakeTable(spark, target_root)
+        else:
+            src_fields = {f.name: f for f in source.schema.fields}
+            fields = [src_fields[g] for g in self.group_cols]
+            fields.append(T.StructField(_NROWS, T.LongType()))
+            for name, (kind, col) in self.measures.items():
+                if kind == "count":
+                    fields.append(T.StructField(name, T.LongType()))
+                else:
+                    # Spark's sum() widens: integral -> long, float -> double,
+                    # decimal(p,s) -> decimal(p+10,s); mirror it so the stored
+                    # schema matches what the aggregation produces
+                    dt = src_fields[col].dataType
+                    if isinstance(dt, T.DecimalType):
+                        out = T.DecimalType(min(38, dt.precision + 10), dt.scale)
+                    elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                        out = T.DoubleType()
+                    else:
+                        out = T.LongType()
+                    fields.append(T.StructField(name, out))
+            self.target = LakeTable.create(
+                spark,
+                target_root,
+                T.StructType(fields),
+                num_buckets=min(source.num_buckets, 32),
+                properties={_VERSION_PROP: 0, "key_col": self.group_cols[0]},
+            )
+
+    # ---------------- aggregation pieces ----------------
+
+    def _agg_exprs(self, sign: int) -> list[Column]:
+        s = F.lit(sign).cast("long")
+        exprs = [F.sum(s).alias(_NROWS)]
+        for name, (kind, col) in self.measures.items():
+            if kind == "count":
+                exprs.append(F.sum(s).alias(name))
+            else:
+                exprs.append(F.sum(F.col(col) * s).alias(name))
+        return exprs
+
+    @property
+    def last_source_version(self) -> int:
+        return int(self.target.snapshot.properties.get(_VERSION_PROP, 0))
+
+    # ---------------- refresh ----------------
+
+    def refresh(self) -> dict[str, Any]:
+        """Fold all source commits since the last refresh into the rollup.
+
+        Incremental when the range is change-feed-derivable; falls back to a
+        full recompute when it isn't (an overwrite/promote rewrote state
+        out-of-band) or when the rollup has never been initialized.
+        """
+        from_v = self.last_source_version
+        to_v = self.source.snapshot.version
+        if to_v == from_v:
+            return {"mode": "noop", "from": from_v, "to": to_v}
+        if to_v < from_v:
+            raise ValueError(
+                f"source went backwards ({from_v} -> {to_v}); rollup points "
+                "at a different table?"
+            )
+        try:
+            ch = self.source.changes(from_v, to_v, key_col=self.key_col)
+        except ValueError:
+            return self._full_recompute(to_v)
+        return self._incremental(ch, from_v, to_v)
+
+    def _incremental(self, ch: DataFrame, from_v: int, to_v: int) -> dict[str, Any]:
+        key = self.key_col
+        # the feed's LWW groupBy feeds two actions (bucket-list collect and
+        # the net-delta build); materialize it once instead of re-resolving
+        ch = ch.localCheckpoint(eager=True)
+        # retract: contribution of the changed keys AS OF the last refresh.
+        # bucket-pruned time-travel read of only the buckets those keys live
+        # in, then a semi join — O(changed buckets), never O(table).
+        changed_keys = ch.select(key).distinct()
+        src_buckets = sorted(
+            r["b"]
+            for r in changed_keys.select(
+                F.pmod(F.xxhash64(key), F.lit(self.source.num_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        old = self.source.read(
+            buckets=src_buckets, key_col=key, at_version=from_v
+        ).join(changed_keys, key, "semi")
+        retract = old.groupBy(*self.group_cols).agg(*self._agg_exprs(-1))
+        add = (
+            ch.where(F.col("op") != "D")
+            .groupBy(*self.group_cols)
+            .agg(*self._agg_exprs(+1))
+        )
+        val_cols = [_NROWS, *self.measures.keys()]
+        net = (
+            retract.unionByName(add)
+            .groupBy(*self.group_cols)
+            .agg(*[F.sum(c).alias(c) for c in val_cols])
+            .where(" or ".join(f"{c} != 0" for c in val_cols))
+        )
+        return self._apply_delta(net, to_v, mode="incremental")
+
+    def _apply_delta(self, net: DataFrame, to_v: int, mode: str) -> dict[str, Any]:
+        nb = self.target.num_buckets
+        net = net.withColumn(BUCKET_COL, _group_bucket(self.group_cols, nb))
+        net = net.localCheckpoint(eager=True)  # net is re-used for bucket list + merge
+        buckets = sorted(r[BUCKET_COL] for r in net.select(BUCKET_COL).distinct().collect())
+        if not buckets:
+            # nothing to fold, but the version pointer must still advance or
+            # this closed range would be re-walked forever
+            self.target.overwrite_buckets(
+                [], self.target.read(buckets=[]), key_col=self.group_cols[0],
+                properties_update={_VERSION_PROP: to_v}, commit_op="rollup",
+            )
+            return {"mode": mode, "to": to_v, "groups_touched": 0}
+        cur = self.target.read(buckets=buckets).withColumn(
+            BUCKET_COL, _group_bucket(self.group_cols, nb)
+        )
+        val_cols = [_NROWS, *self.measures.keys()]
+        c, d = cur.alias("c"), net.alias("d")
+        cond = [c[g].eqNullSafe(d[g]) for g in self.group_cols]
+        merged = (
+            c.join(d, cond, "full_outer")
+            .select(
+                *[F.coalesce(c[g], d[g]).alias(g) for g in self.group_cols],
+                *[
+                    (
+                        F.coalesce(c[v], F.lit(0)) + F.coalesce(d[v], F.lit(0))
+                    ).alias(v)
+                    for v in val_cols
+                ],
+                F.coalesce(c[BUCKET_COL], d[BUCKET_COL]).alias(BUCKET_COL),
+            )
+            .where(F.col(_NROWS) > 0)
+        )
+        snap = self.target.overwrite_buckets(
+            buckets,
+            merged,
+            key_col=self.group_cols[0],
+            properties_update={_VERSION_PROP: to_v},
+            commit_op="rollup",
+        )
+        return {
+            "mode": mode,
+            "to": to_v,
+            "buckets": buckets,
+            "target_version": snap.version,
+        }
+
+    def _full_recompute(self, to_v: int) -> dict[str, Any]:
+        state = self.source.read(at_version=to_v)
+        full = state.groupBy(*self.group_cols).agg(*self._agg_exprs(+1))
+        full = full.withColumn(
+            BUCKET_COL, _group_bucket(self.group_cols, self.target.num_buckets)
+        )
+        self.target.overwrite_all(
+            full.drop(BUCKET_COL),
+            key_col=self.group_cols[0],
+            properties_update={_VERSION_PROP: to_v},
+        )
+        return {"mode": "full", "to": to_v}
+
+    # ---------------- reads ----------------
+
+    def read(self) -> DataFrame:
+        """The rollup as a user-facing relation (hidden bookkeeping dropped)."""
+        return self.target.read().select(*self.group_cols, *self.measures.keys())

@@ -1158,8 +1158,7 @@ def q_cdc_replay(spark, sf_dir, dedup_mode: str = "jvm", num_buckets: int = 16):
     )
 
 
-SQL_CDC_REPLAY = """
-WITH base AS (
+_SQL_CDC_CTES = """base AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '), w -> length(w)) AS tokens,
          source
@@ -1183,13 +1182,69 @@ surv AS (
 fin AS (
   SELECT doc_id, tokens, source FROM surv
   UNION ALL
-  SELECT doc_id, tokens, source FROM last WHERE op <> 'D')
+  SELECT doc_id, tokens, source FROM last WHERE op <> 'D')"""
+
+SQL_CDC_REPLAY = (
+    "WITH "
+    + _SQL_CDC_CTES
+    + """
 SELECT doc_id,
        array_to_string(tokens, ',') AS toks,
        CAST(len(tokens) AS BIGINT) AS n_tok,
        source
 FROM fin
 """
+)
+
+
+def q_rollup_incremental(spark, sf_dir):
+    """Change-feed-maintained materialized aggregate (engine.rollup.
+    IncrementalRollup): replay the CDC epochs and refresh the rollup after
+    EVERY epoch — each refresh retracts/adds only changed keys' groups
+    (O(changed keys), never O(table)) and advances the source-version fence
+    atomically with the data. The returned relation is the incrementally
+    maintained state; the oracle is a flat GROUP BY over the final replayed
+    table, so any drift across the four refreshes fails the hash.
+    Reference analog: the glean_usage live/materialized-view layer
+    (event_monitoring_live_v1.materialized_view.sql), rebuilt as
+    incremental view maintenance instead of scheduled window rescans."""
+    from .engine import CDCEngine, IncrementalRollup
+    from .lake import LakeTable
+
+    base, chg = _cdc_inputs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="rollup_inc_")
+    table = LakeTable.create(
+        spark, root + "/t", base.schema, num_buckets=16,
+        properties={"key_col": "doc_id"},
+    )
+    table.overwrite_all(base, key_col="doc_id")
+    mv = IncrementalRollup(
+        spark, table, root + "/mv", group_cols=["source"],
+        measures={"n_docs": ("count", None), "total_tok": ("sum", "n_tok")},
+    )
+    mv.refresh()  # full bootstrap (the initial load is an overwrite commit)
+    eng = CDCEngine(spark, table, count_input=False)
+    epochs = sorted(r["epoch"] for r in chg.select("epoch").distinct().collect())
+    for e in epochs:
+        eng.apply_epoch(int(e), chg.where(F.col("epoch") == int(e)).drop("epoch"))
+        mv.refresh()
+    return mv.read().select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tok").cast("long").alias("total_tok"),
+    )
+
+
+SQL_ROLLUP_INCREMENTAL = (
+    "WITH "
+    + _SQL_CDC_CTES
+    + """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(tokens)) AS BIGINT) AS total_tok
+FROM fin GROUP BY source
+"""
+)
 
 
 # --------------------------------------------------------------------------
@@ -1565,6 +1620,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "dup_clusters": q_dup_clusters,
     "pack_sequences": q_pack_sequences,
+    "rollup_incremental": q_rollup_incremental,
     "cdc_replay": q_cdc_replay,
 }
 
@@ -1615,5 +1671,6 @@ ORACLES = {
     "approx_distinct": SQL_APPROX_DISTINCT,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "rollup_incremental": SQL_ROLLUP_INCREMENTAL,
     "cdc_replay": SQL_CDC_REPLAY,
 }

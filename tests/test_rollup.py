@@ -1,0 +1,157 @@
+"""IncrementalRollup: change-feed-driven materialized aggregate maintenance."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigquery_etl_fork_spark import datagen
+from bigquery_etl_fork_spark.engine import CDCEngine, IncrementalRollup
+from bigquery_etl_fork_spark.lake import LakeTable
+
+
+def _mk_source(spark, tmp_path, rows, schema="doc_id string, grp string, val long"):
+    df = spark.createDataFrame(rows, schema)
+    t = LakeTable.create(
+        spark, str(tmp_path / "src"), df.schema, num_buckets=4,
+        properties={"key_col": "doc_id"},
+    )
+    t.overwrite_all(df, key_col="doc_id")
+    return t
+
+
+def _mk_rollup(spark, src, tmp_path):
+    return IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["grp"],
+        measures={"n": ("count", None), "total": ("sum", "val")},
+    )
+
+
+def _expected(src):
+    return {
+        r["grp"]: (r["n"], r["total"])
+        for r in src.read()
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("val").alias("total"))
+        .collect()
+    }
+
+
+def _got(mv):
+    return {r["grp"]: (r["n"], r["total"]) for r in mv.read().collect()}
+
+
+def _apply(spark, src, rows, lsn_start, schema="doc_id string, grp string, val long, lsn long, op string"):
+    delta = spark.createDataFrame(rows, schema)
+    eng = CDCEngine(spark, src, key="doc_id", order="lsn", count_input=False)
+    eng.apply_epoch(lsn_start, delta)
+
+
+def test_rollup_tracks_upserts_deletes_and_group_moves(spark, tmp_path):
+    src = _mk_source(
+        spark, tmp_path,
+        [("a", "x", 10), ("b", "x", 20), ("c", "y", 30)],
+    )
+    mv = _mk_rollup(spark, src, tmp_path)
+    assert mv.refresh()["mode"] == "full"  # bootstrap over an overwrite commit
+    assert _got(mv) == _expected(src) == {"x": (2, 30), "y": (1, 60 - 30)}
+
+    # epoch 1: update a's value, move b from x to y, insert d, delete c
+    _apply(spark, src, [
+        ("a", "x", 11, 101, "U"),
+        ("b", "y", 20, 102, "U"),
+        ("d", "z", 5, 103, "I"),
+        ("c", None, None, 104, "D"),
+    ], 1)
+    res = mv.refresh()
+    assert res["mode"] == "incremental"
+    assert _got(mv) == _expected(src) == {"x": (1, 11), "y": (1, 20), "z": (1, 5)}
+
+    # epoch 2: group z disappears entirely (its only row deleted)
+    _apply(spark, src, [("d", None, None, 201, "D")], 2)
+    mv.refresh()
+    got = _got(mv)
+    assert "z" not in got
+    assert got == _expected(src)
+
+
+def test_rollup_refresh_is_idempotent_and_fenced(spark, tmp_path):
+    src = _mk_source(spark, tmp_path, [("a", "x", 1)])
+    mv = _mk_rollup(spark, src, tmp_path)
+    mv.refresh()
+    v = mv.target.snapshot.version
+    assert mv.refresh()["mode"] == "noop"  # same source version: no commit
+    assert mv.target.snapshot.version == v
+
+    _apply(spark, src, [("b", "x", 2, 11, "I")], 1)
+    mv.refresh()
+    assert _got(mv) == {"x": (2, 3)}
+    assert mv.refresh()["mode"] == "noop"
+    assert _got(mv) == {"x": (2, 3)}
+
+
+def test_rollup_crash_between_source_commit_and_refresh(spark, tmp_path):
+    """A refresh that never ran (crash) is simply re-run: the version
+    pointer moves atomically with the data, so the closed range replays."""
+    src = _mk_source(spark, tmp_path, [("a", "x", 1)])
+    mv = _mk_rollup(spark, src, tmp_path)
+    mv.refresh()
+    _apply(spark, src, [("b", "y", 7, 11, "I")], 1)
+    _apply(spark, src, [("c", "y", 9, 21, "I")], 2)
+    # "crash": a new rollup handle (fresh process analog) picks up both
+    mv2 = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["grp"],
+        measures={"n": ("count", None), "total": ("sum", "val")},
+    )
+    assert mv2.last_source_version < src.snapshot.version
+    mv2.refresh()
+    assert _got(mv2) == _expected(src)
+
+
+def test_rollup_full_fallback_after_out_of_band_rewrite(spark, tmp_path):
+    src = _mk_source(spark, tmp_path, [("a", "x", 1), ("b", "y", 2)])
+    mv = _mk_rollup(spark, src, tmp_path)
+    mv.refresh()
+    # out-of-band rewrite: change feed is not derivable across an overwrite
+    df = spark.createDataFrame([("z", "w", 100)], "doc_id string, grp string, val long")
+    src.overwrite_all(df, key_col="doc_id")
+    res = mv.refresh()
+    assert res["mode"] == "full"
+    assert _got(mv) == {"w": (1, 100)}
+
+
+def test_rollup_matches_groupby_across_datagen_epochs(spark, tmp_path):
+    """Multi-epoch CDC replay with hot keys, inserts, deletes: after every
+    epoch the incrementally-maintained rollup equals a fresh GROUP BY."""
+    paths = datagen.write_dataset(
+        str(tmp_path / "data"), n_docs=300, n_events=2400, n_epochs=4, seed=5
+    )
+    base = spark.read.parquet(paths["base"])
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), base.schema, num_buckets=8,
+        properties={"key_col": "doc_id"},
+    )
+    src.overwrite_all(base, key_col="doc_id")
+    mv = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["source"],
+        measures={"n_docs": ("count", None), "total_tok": ("sum", "n_tok")},
+    )
+    mv.refresh()
+    eng = CDCEngine(spark, src, key="doc_id", order="lsn")
+    log = spark.read.parquet(paths["log"])
+    for e in sorted(r["epoch"] for r in log.select("epoch").distinct().collect()):
+        eng.apply_epoch(int(e), log.where(F.col("epoch") == int(e)).drop("epoch"))
+        res = mv.refresh()
+        assert res["mode"] == "incremental", res
+        want = {
+            r["source"]: (r["n_docs"], r["total_tok"])
+            for r in src.read()
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tok").alias("total_tok"),
+            )
+            .collect()
+        }
+        got = {r["source"]: (r["n_docs"], r["total_tok"]) for r in mv.read().collect()}
+        assert got == want, f"divergence after epoch {e}"
