@@ -225,7 +225,10 @@ class IncrementalRollup:
         }
 
     def _full_recompute(self, to_v: int) -> dict[str, Any]:
-        state = self.source.read(at_version=to_v)
+        bks = None
+        if self.source.snapshot.properties.get("require_partition_filter"):
+            bks = list(range(self.source.num_buckets))  # deliberate full scan
+        state = self.source.read(buckets=bks, key_col=self.key_col, at_version=to_v)
         full = state.groupBy(*self.group_cols).agg(*self._agg_exprs(+1))
         full = full.withColumn(
             BUCKET_COL, _group_bucket(self.group_cols, self.target.num_buckets)

@@ -108,6 +108,21 @@ def test_rollup_crash_between_source_commit_and_refresh(spark, tmp_path):
     assert _got(mv2) == _expected(src)
 
 
+def test_rollup_zero_net_delta_still_advances_fence(spark, tmp_path):
+    """An epoch whose changes cancel out group-wise (same group, same
+    values) must still move the version pointer, or the closed range would
+    be re-walked on every refresh forever."""
+    src = _mk_source(spark, tmp_path, [("a", "x", 5)])
+    mv = _mk_rollup(spark, src, tmp_path)
+    mv.refresh()
+    _apply(spark, src, [("a", "x", 5, 11, "U")], 1)  # value-identical rewrite
+    res = mv.refresh()
+    assert res["mode"] == "incremental" and res["groups_touched"] == 0
+    assert mv.last_source_version == src.snapshot.version
+    assert mv.refresh()["mode"] == "noop"
+    assert _got(mv) == {"x": (1, 5)}
+
+
 def test_rollup_full_fallback_after_out_of_band_rewrite(spark, tmp_path):
     src = _mk_source(spark, tmp_path, [("a", "x", 1), ("b", "y", 2)])
     mv = _mk_rollup(spark, src, tmp_path)
