@@ -1,3 +1,4 @@
+from .dag import CycleError, Node, Pipeline
 from .guards import (
     assert_filter_pushed,
     assert_no_full_scan,
@@ -8,6 +9,9 @@ from .guards import (
 )
 
 __all__ = [
+    "CycleError",
+    "Node",
+    "Pipeline",
     "assert_filter_pushed",
     "assert_no_full_scan",
     "explain_string",
