@@ -136,9 +136,19 @@ class IncrementalRollup:
             )
         try:
             ch = self.source.changes(from_v, to_v, key_col=self.key_col)
-        except ValueError:
+        except (ValueError, FileNotFoundError):
+            # ValueError: range contains an overwrite/promote commit (feed
+            # not derivable). FileNotFoundError: expire_snapshots dropped
+            # the range's snapshots. Both are answered by recomputing from
+            # current state.
             return self._full_recompute(to_v)
-        return self._incremental(ch, from_v, to_v)
+        try:
+            return self._incremental(ch, from_v, to_v)
+        except FileNotFoundError:
+            # the retract-side time-travel read lost its snapshot between
+            # the changes() probe and execution; the incremental path's only
+            # write is its final atomic commit, so nothing is half-applied
+            return self._full_recompute(to_v)
 
     def _incremental(self, ch: DataFrame, from_v: int, to_v: int) -> dict[str, Any]:
         key = self.key_col

@@ -58,6 +58,11 @@ def assign_sequences(
 
     def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["_ord", id_col], ignore_index=True)
+        if pdf["_len"].isna().any():
+            # a null length would turn the accumulator into NaN and silently
+            # pack the whole bucket into one sequence — refuse instead
+            bad = pdf.loc[pdf["_len"].isna(), id_col].iloc[0]
+            raise ValueError(f"null {len_col} for id {bad!r}; lengths must be non-null")
         lens = pdf["_len"].to_numpy()
         seq = [0] * len(lens)
         acc = -1  # forces a fresh sequence for the first doc

@@ -142,6 +142,16 @@ def test_assign_sequences_oversize_doc_isolated(spark):
     assert got == {1: 0, 2: 1, 3: 2, 4: 2}
 
 
+def test_assign_sequences_null_length_rejected(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None)], "doc_id long, n_tok long"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        assign_sequences(
+            df, "doc_id", "n_tok", max_len=100, bucket=F.lit(0)
+        ).collect()
+
+
 def test_pack_sequences_token_concat_and_invariants(spark):
     rng = random.Random(3)
     rows = [

@@ -135,6 +135,20 @@ def test_rollup_full_fallback_after_out_of_band_rewrite(spark, tmp_path):
     assert _got(mv) == {"w": (1, 100)}
 
 
+def test_rollup_full_fallback_after_snapshot_expiry(spark, tmp_path):
+    """expire_snapshots dropping the refresh range must degrade to a full
+    recompute, not crash the refresh."""
+    src = _mk_source(spark, tmp_path, [("a", "x", 1)])
+    mv = _mk_rollup(spark, src, tmp_path)
+    mv.refresh()
+    for i in range(3):
+        _apply(spark, src, [(f"k{i}", "y", 10 + i, 100 + i, "I")], i + 1)
+    src.expire_snapshots(keep_last=1)
+    res = mv.refresh()
+    assert res["mode"] == "full"
+    assert _got(mv) == _expected(src)
+
+
 def test_rollup_matches_groupby_across_datagen_epochs(spark, tmp_path):
     """Multi-epoch CDC replay with hot keys, inserts, deletes: after every
     epoch the incrementally-maintained rollup equals a fresh GROUP BY."""
