@@ -185,7 +185,12 @@ class IncrementalRollup:
             .agg(*[F.sum(c).alias(c) for c in val_cols])
             .where(" or ".join(f"{c} != 0" for c in val_cols))
         )
-        return self._apply_delta(net, to_v, mode="incremental")
+        res = self._apply_delta(net, to_v, mode="incremental")
+        # pruning observability: how much of the source the retract side
+        # actually touched (the O(changed buckets) claim, reportable)
+        res["src_buckets_scanned"] = len(src_buckets)
+        res["src_buckets_total"] = self.source.num_buckets
+        return res
 
     def _apply_delta(self, net: DataFrame, to_v: int, mode: str) -> dict[str, Any]:
         nb = self.target.num_buckets

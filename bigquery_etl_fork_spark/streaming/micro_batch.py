@@ -87,13 +87,19 @@ def tail_changelog(
     max_polls: int | None = None,
     stop_at_epoch: int | None = None,
     complete_marker: str | None = None,
+    post_apply=None,
 ) -> ReplayStats:
     """Tail a growing change-log directory: apply any epoch above the
     committed watermark, in order; poll for new ones. Returns when
     ``stop_at_epoch`` is reached or ``max_polls`` polls found nothing new
     (None = tail forever). Pass ``complete_marker`` (e.g. ``"_SUCCESS"``)
     when the producer writes epoch directories non-atomically, so an epoch
-    is only applied — and fenced — once its marker says it's complete."""
+    is only applied — and fenced — once its marker says it's complete.
+    ``post_apply`` (fn(EpochStats) -> None) runs after each epoch commits —
+    the hook for downstream incremental derivations (e.g.
+    ``IncrementalRollup.refresh``, whose own version fence makes a crashed
+    or re-run hook harmless), so materialized views track the live table
+    epoch-by-epoch instead of by scheduled rescan."""
     spark = engine.spark
     stats = ReplayStats()
     idle_polls = 0
@@ -104,7 +110,10 @@ def tail_changelog(
             idle_polls = 0
             for e in pending:
                 df = spark.read.parquet(os.path.join(log_dir, f"epoch={e}"))
-                stats.epochs.append(engine.apply_epoch(e, df))
+                st = engine.apply_epoch(e, df)
+                stats.epochs.append(st)
+                if post_apply is not None:
+                    post_apply(st)
                 if stop_at_epoch is not None and e >= stop_at_epoch:
                     return stats
         else:
@@ -121,6 +130,7 @@ def stream_changelog(
     available_now: bool = True,
     complete_marker: str | None = None,
     max_files_per_trigger: int | None = None,
+    post_apply=None,
 ):
     """Structured Streaming variant: file-source ``readStream`` over the log
     directory, ``foreachBatch`` applying each contained epoch in order.
@@ -149,7 +159,9 @@ def stream_changelog(
                 continue  # idempotent re-delivery of an applied epoch
             # apply the complete on-disk epoch, NOT the batch slice
             epoch_dir = os.path.join(log_dir, f"epoch={e}")
-            engine.apply_epoch(e, spark.read.parquet(epoch_dir))
+            st = engine.apply_epoch(e, spark.read.parquet(epoch_dir))
+            if post_apply is not None:
+                post_apply(st)
 
     builder = spark.readStream.schema(schema).option("basePath", log_dir)
     if max_files_per_trigger is not None:

@@ -149,6 +149,53 @@ def test_rollup_full_fallback_after_snapshot_expiry(spark, tmp_path):
     assert _got(mv) == _expected(src)
 
 
+def test_rollup_retract_read_is_bucket_pruned(spark, tmp_path):
+    """Changing keys in few buckets must scan few source buckets — the
+    O(changed keys) refresh claim, asserted via the refresh report."""
+    rows = [(f"d{i}", "g", i) for i in range(64)]
+    src = _mk_source(spark, tmp_path, rows)  # 4 source buckets
+    mv = _mk_rollup(spark, src, tmp_path)
+    mv.refresh()
+    _apply(spark, src, [("d0", "g", 999, 11, "U")], 1)  # one key
+    res = mv.refresh()
+    assert res["mode"] == "incremental"
+    assert res["src_buckets_scanned"] == 1 and res["src_buckets_total"] == 4
+    assert _got(mv) == _expected(src)
+
+
+def test_rollup_survives_schema_evolution_mid_range(spark, tmp_path):
+    """The retract side reads the PRE-evolution snapshot (old schema, e.g.
+    int32 n_tok) while the add side carries the evolved schema (int64);
+    the maintained rollup must still equal a fresh GROUP BY."""
+    paths = datagen.write_dataset(
+        str(tmp_path / "data"), n_docs=200, n_events=1600, n_epochs=4,
+        seed=9, evolve_at_epoch=3,
+    )
+    base = spark.read.parquet(paths["base"])
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), base.schema, num_buckets=4,
+        properties={"key_col": "doc_id"},
+    )
+    src.overwrite_all(base, key_col="doc_id")
+    mv = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["source"],
+        measures={"n": ("count", None), "tok": ("sum", "n_tok")},
+    )
+    mv.refresh()
+    eng = CDCEngine(spark, src, key="doc_id", order="lsn")
+    log = spark.read.parquet(paths["log"])
+    for e in sorted(r["epoch"] for r in log.select("epoch").distinct().collect()):
+        eng.apply_epoch(int(e), log.where(F.col("epoch") == int(e)).drop("epoch"))
+        assert mv.refresh()["mode"] == "incremental"
+        want = {
+            r["source"]: (r["n"], r["tok"])
+            for r in src.read().groupBy("source")
+            .agg(F.count("*").alias("n"), F.sum("n_tok").alias("tok")).collect()
+        }
+        got = {r["source"]: (r["n"], r["tok"]) for r in mv.read().collect()}
+        assert got == want, f"divergence after epoch {e}"
+
+
 def test_rollup_matches_groupby_across_datagen_epochs(spark, tmp_path):
     """Multi-epoch CDC replay with hot keys, inserts, deletes: after every
     epoch the incrementally-maintained rollup equals a fresh GROUP BY."""

@@ -57,6 +57,44 @@ def test_structured_streaming_available_now(spark, tmp_path, data):
     assert_states_equal(t.read().toPandas(), replay_oracle(data["base"], data["log"]))
 
 
+def test_streaming_with_live_rollup_refresh(spark, tmp_path, data):
+    """post_apply hook: an IncrementalRollup refreshed after every applied
+    epoch tracks the live table exactly — the CDC-native materialized-view
+    story end-to-end through the streaming tailer."""
+    from pyspark.sql import functions as F
+
+    from bigquery_etl_fork_spark.engine import IncrementalRollup
+
+    t = _fresh(spark, tmp_path, data)
+    eng = CDCEngine(spark, t, count_input=False)
+    mv = IncrementalRollup(
+        spark, t, str(tmp_path / "mv"), group_cols=["source"],
+        measures={"n": ("count", None), "tok": ("sum", "n_tok")},
+        key_col="doc_id",
+    )
+    mv.refresh()
+    refreshed = []
+
+    def hook(st):
+        refreshed.append((st.epoch, mv.refresh()["mode"]))
+
+    stats = tail_changelog(
+        eng, str(data["dir"] / "change_log"), max_polls=1, poll_interval_s=0,
+        post_apply=hook,
+    )
+    assert [e for e, _ in refreshed] == [e.epoch for e in stats.epochs] == [1, 2, 3, 4]
+    assert all(m == "incremental" for _, m in refreshed)
+    want = {
+        r["source"]: (r["n"], r["tok"])
+        for r in t.read()
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_tok").alias("tok"))
+        .collect()
+    }
+    got = {r["source"]: (r["n"], r["tok"]) for r in mv.read().collect()}
+    assert got == want
+
+
 def test_time_travel_read(spark, tmp_path, data):
     t = _fresh(spark, tmp_path, data)
     eng = CDCEngine(spark, t, count_input=False)
