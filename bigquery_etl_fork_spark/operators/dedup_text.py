@@ -21,7 +21,7 @@ the standard LSH trick that keeps candidate generation near-linear.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 DEFAULT_SHINGLE_N = 3
@@ -235,10 +235,22 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     band_bits: int = 15,
+    max_chunk: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 60-bit signature into 4×15-bit
     chunks (pigeonhole: any pair within Hamming ≤ 3×bands/4 shares a band),
-    join on band equality, exact Hamming filter."""
+    join on band equality, exact Hamming filter.
+
+    ``max_chunk`` caps the docs per (band, chunk) bucket before the
+    self-join — the same bounded-fan-out lever as ngram_jaccard's max_df:
+    a degenerate near-identical family of size F otherwise costs F²/2
+    comparisons in EVERY band it floods. Buckets over the cap are dropped
+    whole (deterministic — no sampling). Pairs differing in the flooded
+    band still connect through their other bands; a family with IDENTICAL
+    signatures floods all bands at once and loses its pairs entirely — run
+    exact dedup first (as corpus_prep does) to remove the dominant cause,
+    identical texts; what remains above the cap (>max_chunk docs sharing a
+    signature, e.g. word-permuted texts) is an accepted recall loss."""
     sigs = simhash_signatures(df, id_col, text_col)
     bands = 60 // band_bits
     mask = (1 << band_bits) - 1
@@ -259,6 +271,13 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.chunk")
+    if max_chunk is not None:
+        wcnt = W.partitionBy("band", "chunk")
+        banded = (
+            banded.withColumn("_cn", F.count(F.lit(1)).over(wcnt))
+            .where(F.col("_cn") <= max_chunk)
+            .drop("_cn")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     hamm = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -1575,6 +1575,142 @@ FROM g GROUP BY bucket, seq_idx
 """
 
 
+# --------------------------------------------------------------------------
+# corpus_prep: the whole LLM training-data pipeline as ONE oracle-checked
+# entry — language/quality filter -> exact dedup -> near-dup clustering
+# keep-list -> sequence packing. Each stage is an already-verified operator;
+# this entry proves they COMPOSE (the reference's equivalent is a chain of
+# scheduled derived tables, SURVEY §2.12).
+# --------------------------------------------------------------------------
+
+
+def q_corpus_prep(spark, sf_dir):
+    """documents -> packed training sequences of the kept canonical docs.
+
+    Filter uses integer-only predicates (no double thresholds to diverge at
+    rounding boundaries): English by stopword argmax, >=20 words, >=half
+    pure-alpha words. Exact dedup keeps the min doc_id per identical text;
+    near-dup clustering keeps each cluster's canonical (min id) member;
+    survivors pack greedily into 256-token sequences in id order per
+    8-way hash bucket."""
+    from .operators.cluster import dedup_clusters
+    from .operators.dedup_text import simhash_near_pairs
+    from .operators.packing import pack_sequences
+    from .operators.text import lang_id
+
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$")))
+    kept = d.where(
+        (lang_id("text") == "en") & (n_words >= 20) & (n_alpha * 2 >= n_words)
+    ).select("doc_id", "text")
+    first = W.partitionBy("text").orderBy("doc_id")
+    uniq = (
+        kept.withColumn("_rn", F.row_number().over(first))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        # consumed by the pair build, the cluster assignment, the canonical
+        # semi join AND the packer — materialize once instead of re-running
+        # the filter+window subtree in every downstream action
+        .localCheckpoint(eager=True)
+    )
+    pairs = simhash_near_pairs(
+        uniq, "doc_id", "text", max_hamming=8, band_bits=15, max_chunk=64
+    )
+    clusters = dedup_clusters(uniq, pairs, id_col="doc_id")
+    canon = (
+        uniq.join(clusters.where("is_canonical").select("doc_id"), "doc_id", "semi")
+        .select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+        .localCheckpoint(eager=True)  # packer reads it twice (assign + join)
+    )
+    packed = pack_sequences(
+        canon, "doc_id", "n_tok", max_len=256,
+        bucket=F.pmod("doc_id", F.lit(8)).cast("int"),
+    )
+    return packed.select(
+        "bucket", "seq_idx", "n_docs", "n_tok",
+        F.array_join(
+            F.transform("doc_ids", lambda x: x.cast("string")), ","
+        ).alias("doc_ids"),
+    )
+
+
+def _sql_corpus_prep():
+    from .operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS.keys())
+    scores = ", ".join(
+        "len(list_filter(w, x -> x IN ({lst}))) AS s_{lang}".format(
+            lst=", ".join(f"'{s}'" for s in STOPWORDS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    struct_arr = ", ".join(f"{{'score': s_{lang}, 'lang': '{lang}'}}" for lang in langs)
+    return (
+        "WITH RECURSIVE "
+        + f"""scored AS (
+  SELECT doc_id, text, len(w) AS nw,
+         len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$'))) AS na,
+         {scores}
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) z),
+kept AS (
+  SELECT doc_id, text FROM scored
+  WHERE list_max([{struct_arr}]).lang = 'en' AND nw >= 20 AND na * 2 >= nw),
+uniq AS MATERIALIZED (
+  SELECT doc_id, text FROM kept
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+"""
+        + _SQL_SIMHASH_CTES.replace("FROM documents", "FROM uniq")
+        .replace(
+            "simpairs AS (",
+            "bandedc AS (\n"
+            "  SELECT * FROM banded\n"
+            "  QUALIFY count(*) OVER (PARTITION BY band, chunk) <= 64),\n"
+            "simpairs AS (",
+        )
+        .replace("FROM banded a JOIN banded b", "FROM bandedc a JOIN bandedc b")
+        + """,
+edges AS (SELECT doc_a AS u, doc_b AS v FROM simpairs
+          UNION SELECT doc_b, doc_a FROM simpairs),
+reach(node, label) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+canon AS (
+  SELECT u.doc_id, CAST(len(string_split(u.text, ' ')) AS BIGINT) AS n_tok
+  FROM uniq u LEFT JOIN comp c ON c.node = u.doc_id
+  WHERE coalesce(c.cluster_id, u.doc_id) = u.doc_id),
+pd AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: the recursive pg below joins pd once per
+  -- step, and an inlined pd would re-run the whole simhash+closure chain
+  -- per recursion step (measured 184 s vs <1 s at sf0.01)
+  SELECT CAST(doc_id % 8 AS INT) AS bucket, doc_id, n_tok,
+         CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+              AS BIGINT) AS rn
+  FROM canon),
+pg AS (
+    SELECT bucket, rn, doc_id, n_tok, 0 AS seq_idx, n_tok AS acc
+    FROM pd WHERE rn = 1
+  UNION ALL
+    SELECT pd.bucket, pd.rn, pd.doc_id, pd.n_tok,
+           CASE WHEN pg.acc + pd.n_tok <= 256 THEN pg.seq_idx
+                ELSE pg.seq_idx + 1 END,
+           CASE WHEN pg.acc + pd.n_tok <= 256 THEN pg.acc + pd.n_tok
+                ELSE pd.n_tok END
+    FROM pg JOIN pd ON pd.bucket = pg.bucket AND pd.rn = pg.rn + 1)
+SELECT bucket, seq_idx, CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM pg GROUP BY bucket, seq_idx
+"""
+    )
+
+
+SQL_CORPUS_PREP = _sql_corpus_prep()
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "join3_revenue": q_join3_revenue,
@@ -1621,6 +1757,7 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "pack_sequences": q_pack_sequences,
     "rollup_incremental": q_rollup_incremental,
+    "corpus_prep": q_corpus_prep,
     "cdc_replay": q_cdc_replay,
 }
 
@@ -1672,5 +1809,6 @@ ORACLES = {
     "dup_clusters": SQL_DUP_CLUSTERS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "rollup_incremental": SQL_ROLLUP_INCREMENTAL,
+    "corpus_prep": SQL_CORPUS_PREP,
     "cdc_replay": SQL_CDC_REPLAY,
 }

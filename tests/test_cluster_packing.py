@@ -94,6 +94,26 @@ def test_dedup_clusters_singletons_and_canonicals(spark):
     assert sum(1 for r in canon if r["cluster_size"] > 1) == 2
 
 
+def test_simhash_max_chunk_caps_dense_buckets(spark):
+    """The bounded-fan-out cap: a dense near-identical family stops
+    producing quadratic pairs, sparse docs are unaffected."""
+    from bigquery_etl_fork_spark.operators.dedup_text import simhash_near_pairs
+
+    dense = [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)]
+    sparse = [  # a 2-doc family: dense enough to pair, far under the cap
+        (100, "totally different words appear here now"),
+        (101, "totally different words appear here now"),
+    ]
+    df = spark.createDataFrame(dense + sparse, "doc_id long, text string")
+    uncapped = simhash_near_pairs(df, "doc_id", "text").count()
+    capped = simhash_near_pairs(df, "doc_id", "text", max_chunk=10)
+    rows = capped.collect()
+    assert uncapped >= 30 * 29 / 2  # the dense family alone is quadratic
+    pair_ids = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (100, 101) in pair_ids  # sparse near-dups survive the cap
+    assert all(a >= 100 for a, _ in pair_ids)  # dense family fully capped
+
+
 # ---------------- sequence packing ----------------
 
 
