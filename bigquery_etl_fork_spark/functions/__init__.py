@@ -198,3 +198,13 @@ def sample_id(key: Column, buckets: int = 100) -> Column:
     """Stable 0..buckets-1 hash of a key — the udf_js/sample_id analog
     (CRC32-based there; xxhash64 here, same distributional role)."""
     return F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
+
+
+def md5_uniform32(key: Column) -> Column:
+    """Uniform value in [0, 2^32) from the first 8 md5-hex chars of the key
+    — the CROSS-ENGINE-reproducible sibling of ``sample_id`` (md5 is
+    identical everywhere; xxhash64 is JVM-only). Use for deterministic
+    splits/sampling that must survive an engine change or be auditable in
+    SQL: ``md5_uniform32(k) < int(frac * 2**32)`` selects a stable
+    fraction with pure integer comparison (no double thresholds)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")

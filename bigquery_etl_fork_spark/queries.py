@@ -1711,6 +1711,41 @@ FROM pg GROUP BY bucket, seq_idx
 SQL_CORPUS_PREP = _sql_corpus_prep()
 
 
+def q_train_val_split(spark, sf_dir, val_frac: float = 0.1):
+    """Deterministic train/val assignment by md5-derived uniform hash of
+    the key (functions.md5_uniform32) — reproducible across engines,
+    re-runs, and data re-partitioning; the split of a doc never changes
+    when other docs are added (the property random() splits lack).
+    Threshold is a pure integer (floor((1-val_frac) * 2^32)), so there is
+    no double comparison to diverge at a boundary."""
+    d = load(spark, sf_dir, "documents")
+    cut = int((1.0 - val_frac) * 2**32)
+    split = F.when(UF.md5_uniform32(F.col("doc_id")) < cut, "train").otherwise("val")
+    return d.groupBy("source", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+def _sql_train_val_split(val_frac: float = 0.1):
+    cut = int((1.0 - val_frac) * 2**32)
+    hx = (
+        "list_sum([CAST(strpos('0123456789abcdef', "
+        "substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT) "
+        "<< (4 * (8 - i)) for i in range(1, 9)])"
+    )
+    return f"""
+SELECT source,
+       CASE WHEN {hx} < {cut} THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+SQL_TRAIN_VAL_SPLIT = _sql_train_val_split()
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "join3_revenue": q_join3_revenue,
@@ -1758,6 +1793,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "rollup_incremental": q_rollup_incremental,
     "corpus_prep": q_corpus_prep,
+    "train_val_split": q_train_val_split,
     "cdc_replay": q_cdc_replay,
 }
 
@@ -1810,5 +1846,6 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "rollup_incremental": SQL_ROLLUP_INCREMENTAL,
     "corpus_prep": SQL_CORPUS_PREP,
+    "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "cdc_replay": SQL_CDC_REPLAY,
 }
