@@ -611,6 +611,57 @@ class LakeTable:
             raise ValueError(f"delta rows written outside declared buckets: {sorted(stray)}")
         return self.commit_staged_delta(staged, properties_update, lineage)
 
+    def _delta_entries_since(
+        self, lsn_floor: int, buckets: list[int] | None, order_col: str = "lsn"
+    ) -> list[dict[str, Any]]:
+        """Delta-file manifest entries that can contain rows above
+        ``lsn_floor``, by the per-file footer max recorded at stage time —
+        manifest-level file skipping, no footer reads, no Spark job."""
+        return [
+            e
+            for e in self._entries(buckets, "delta")
+            if e.get(f"{order_col}_max") is None or e[f"{order_col}_max"] > lsn_floor
+        ]
+
+    def read_deltas_since(
+        self,
+        lsn_floor: int,
+        buckets: list[int] | None = None,
+        order_col: str = "lsn",
+        op_col: str = "op",
+    ) -> DataFrame:
+        """Raw (unresolved) delta rows with ``order_col > lsn_floor`` — the
+        incremental-scan analog: a consumer that has processed up to an LSN
+        pulls only what's new, and the manifest's per-file min/max (written
+        free from Parquet footers at stage time) skips every delta file
+        wholly at or below the floor before any I/O is planned. Rows are
+        NOT LWW-resolved (multiple versions of a key may appear; tombstones
+        carry op='D') — resolution belongs to the consumer, which may be
+        accumulating across calls. Use ``changes()`` for a resolved,
+        version-fenced feed."""
+        snap = self._snapshot
+        entries = self._delta_entries_since(lsn_floor, buckets, order_col)
+        target = snap.schema
+        target_plus = T.StructType(
+            list(target.fields) + [T.StructField(order_col, T.LongType())]
+        )
+        parts = []
+        for tomb in (False, True):
+            ents = [e for e in entries if bool(e.get("tomb")) == tomb]
+            if not ents:
+                continue
+            d = self._read_files(self._sid_paths(ents), target_plus)
+            parts.append(d.withColumn(op_col, F.lit("D" if tomb else "U")))
+        if not parts:
+            schema = T.StructType(
+                list(target_plus.fields) + [T.StructField(op_col, T.StringType())]
+            )
+            return self.spark.createDataFrame([], schema)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u.where(F.col(order_col) > lsn_floor)
+
     def delta_file_counts(self, buckets: list[int] | None = None) -> dict[int, int]:
         snap = self._snapshot
         sel = [str(b) for b in buckets] if buckets is not None else list(snap.buckets.keys())

@@ -186,3 +186,44 @@ def test_change_feed_between_versions(spark, tmp_path, table):
     # (overwrite rewrites state outside the delta log) — loud, not silent
     with pytest.raises(ValueError, match="overwrite"):
         t.changes(0, v0)
+
+
+def test_read_deltas_since_skips_files_by_manifest_stats(spark, tmp_path):
+    """Incremental scan: the per-file lsn max recorded at stage time prunes
+    whole delta files below the floor before any I/O is planned."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "ds"), schema, num_buckets=2)
+    t.overwrite_all(
+        spark.createDataFrame([("a", 1), ("b", 2)], schema), key_col="doc_id"
+    )
+    # three delta commits with disjoint lsn ranges
+    for lo in (10, 20, 30):
+        df = spark.createDataFrame(
+            [(f"k{lo}", lo, lo, "U"), (f"k{lo+1}", lo + 1, lo + 1, "D")],
+            "doc_id string, n int, lsn long, op string",
+        )
+        t.append_delta([0, 1], df, key_col="doc_id")
+
+    # manifest-level pruning: floor 25 keeps only the lsn 30..31 commit
+    kept = t._delta_entries_since(25, None)
+    all_entries = t._delta_entries_since(-1, None)
+    assert len(all_entries) > len(kept) > 0
+    assert all(e["lsn_max"] > 25 for e in kept)
+
+    rows = t.read_deltas_since(25).collect()
+    assert sorted((r["doc_id"], r["lsn"], r["op"]) for r in rows) == [
+        ("k30", 30, "U"),
+        ("k31", 31, "D"),
+    ]
+    # a floor above everything scans nothing and returns an empty, typed df
+    empty = t.read_deltas_since(10_000)
+    assert empty.count() == 0 and "op" in empty.columns
+
+    # boundary: floor exactly at a file's max excludes that file's rows
+    at_max = {r["lsn"] for r in t.read_deltas_since(31).collect()}
+    assert at_max == set()
