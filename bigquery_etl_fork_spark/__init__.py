@@ -14,8 +14,17 @@ A from-scratch re-expression of the capabilities of Mozilla's bigquery-etl
                     text dedup (minhash/simhash), similarity search, bitmaps.
 - ``functions``   — the scalar "UDF" library re-expressed as Column builders
                     (analog of ``sql/mozfun`` — zero-runtime-cost macros).
-- ``sources``     — change-log and file sources.
-- ``streaming``   — micro-batch / Structured Streaming replay drivers.
+- ``sources``     — change-log and file sources; JSON export and
+                    deterministic pre-shuffled training-shard export.
+- ``streaming``   — micro-batch / Structured Streaming replay drivers with
+                    a post-apply hook for live downstream derivations.
+- ``engine.rollup`` — change-feed-driven incremental materialized views
+                    (retract/add, version-fenced exactly-once refresh).
+- ``plans``       — plan guards (pushdown/pruning asserts) and the
+                    dependency-graph Pipeline runner (topological execution
+                    with version-aware skipping).
+- ``metadata`` / ``views`` — declarative table.yaml binder and
+                    schema-enforcing view publishing.
 """
 
 __version__ = "0.1.0"

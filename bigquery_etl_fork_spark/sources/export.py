@@ -29,3 +29,44 @@ def publish_json(
     if gzip:
         writer = writer.option("compression", "gzip")
     writer.json(path)
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_shards: int,
+    rows_per_file: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Write a training dataset as deterministically pre-shuffled shards.
+
+    Trainers want (a) data order decorrelated from ingest order, (b) the
+    SAME order on every run (resumable/debuggable epochs), (c) bounded,
+    even shard files a loader can stripe across workers. Random
+    shuffles give (a) but not (b); this gives all three by ordering on a
+    cross-engine-stable md5 uniform of the key:
+
+    - shard  = md5_uniform32(key) mod num_shards  (even, content-addressed)
+    - order  = (md5_uniform32(key), key) within a shard  (total, stable)
+
+    One range-free exchange (repartition on the shard id) + an in-shard
+    sort; ``rows_per_file`` caps file size via maxRecordsPerFile so a
+    100-TB export still yields loader-friendly files without a second
+    shuffle. Re-running over the same rows writes byte-identical shard
+    MEMBERSHIP and ORDER regardless of input partitioning."""
+    from pyspark.sql import functions as F
+
+    from ..functions import md5_uniform32
+
+    u = md5_uniform32(F.col(key_col))
+    out = (
+        df.withColumn("_shard", (u % num_shards).cast("int"))
+        .withColumn("_u", u)
+        .repartition("_shard")
+        .sortWithinPartitions("_shard", "_u", key_col)
+    )
+    writer = out.drop("_u").write.mode("overwrite").partitionBy("_shard")
+    if rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", rows_per_file)
+    getattr(writer, fmt)(path)

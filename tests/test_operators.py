@@ -300,3 +300,32 @@ def test_external_sources_with_declared_schema(spark, tmp_path):
     assert {(r.id, r.name) for r in c.collect()} == {(1, "a"), (2, "b")}
     assert {(r.id, r.name) for r in j.collect()} == {(3, "c"), (4, "d")}
     assert spark.sql("SELECT count(*) FROM ext_csv").collect()[0][0] == 2
+
+
+def test_export_training_shards_deterministic(spark, tmp_path):
+    """Same rows, different input partitioning -> identical shard
+    membership AND identical in-file row order (the resumable-epoch
+    property random shuffles lack)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bigquery_etl_fork_spark.sources.export import export_training_shards
+
+    rows = [(f"doc{i}", i * 7 % 101) for i in range(500)]
+
+    def run(out, nparts):
+        df = spark.createDataFrame(rows, "doc_id string, v int").repartition(nparts)
+        export_training_shards(df, out, key_col="doc_id", num_shards=4)
+        shards = {}
+        for s in range(4):
+            files = sorted(glob.glob(f"{out}/_shard={s}/*.parquet"))
+            assert len(files) == 1  # one task per shard without rows_per_file
+            shards[s] = pq.read_table(files[0]).to_pandas()["doc_id"].tolist()
+        return shards
+
+    a = run(str(tmp_path / "a"), 13)
+    b = run(str(tmp_path / "b"), 1)
+    assert a == b
+    assert sorted(x for v in a.values() for x in v) == sorted(r[0] for r in rows)
+    assert all(len(v) > 0 for v in a.values())
