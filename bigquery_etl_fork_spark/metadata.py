@@ -135,3 +135,111 @@ def bootstrap(
     cfg = load_table_config(yaml_path)
     table = create_table(spark, root, cfg)
     return table, build_engine(spark, table, cfg)
+
+
+# --------------------------------------------------------------------------
+# Declarative pipelines — the reference's dags.yaml analog
+# (bigquery_etl/query_scheduling/: each derived table declares its upstreams
+# and schedule; here the same declaration binds to engine objects and runs
+# in-process through plans.dag.Pipeline).
+# --------------------------------------------------------------------------
+
+
+def build_pipeline(spark: SparkSession, doc: dict):
+    """Bind a parsed pipeline document to a runnable Pipeline.
+
+    Node kinds::
+
+        - name: ingest
+          kind: cdc_ingest          # table.yaml-configured table + engine,
+          table_yaml: seq.yaml      # then tail the log dir once
+          root: /data
+          log_dir: /logs/sequences
+        - name: daily
+          kind: rollup              # incremental materialized view
+          deps: [ingest]
+          source: ingest            # the cdc_ingest node owning the table
+          target: /data/mv_daily
+          group_cols: [source]
+          measures: {n_docs: [count, null], total_tok: [sum, n_tok]}
+        - name: publish
+          kind: export_json         # JSON export of a table/rollup node
+          deps: [daily]
+          input: daily
+          path: /out/daily
+          skip_if_noop: daily       # skip when that rollup refreshed nothing
+
+    Returns (pipeline, objects): ``objects`` maps node name → the bound
+    engine object (LakeTable / IncrementalRollup), so callers can keep
+    driving them after the run."""
+    from .engine.rollup import IncrementalRollup
+    from .plans.dag import Pipeline
+    from .sources.export import publish_json
+    from .streaming.micro_batch import tail_changelog
+
+    p = Pipeline()
+    objects: dict[str, Any] = {}
+    for spec in doc.get("pipeline") or []:
+        spec = dict(spec)
+        name, kind = spec["name"], spec["kind"]
+        deps = list(spec.get("deps") or [])
+        skip_dep = spec.get("skip_if_noop")
+        skip_if = (
+            (lambda ctx, d=skip_dep: (ctx.get(d) or {}).get("mode") == "noop")
+            if skip_dep
+            else None
+        )
+        if kind == "cdc_ingest":
+            table, engine = bootstrap(spark, spec["root"], spec["table_yaml"])
+            objects[name] = table
+
+            def run_ingest(ctx, _e=engine, _t=table, _log=spec["log_dir"]):
+                stats = tail_changelog(_e, _log, max_polls=1, poll_interval_s=0)
+                return {
+                    "epochs_applied": len(stats.epochs),
+                    "version": _t.snapshot.version,
+                    "mode": "noop" if not stats.epochs else "applied",
+                }
+
+            p.add(name, run=run_ingest, deps=deps, skip_if=skip_if)
+        elif kind == "rollup":
+            if spec["source"] not in objects:
+                raise ValueError(
+                    f"rollup {name!r}: source node {spec['source']!r} must be "
+                    "declared before it in the pipeline list"
+                )
+            src = objects[spec["source"]]
+            measures = {
+                m: (k, None if c in (None, "null") else c)
+                for m, (k, c) in (spec["measures"] or {}).items()
+            }
+            mv = IncrementalRollup(
+                spark, src, spec["target"],
+                group_cols=list(spec["group_cols"]), measures=measures,
+            )
+            objects[name] = mv
+            p.add(name, run=lambda ctx, _mv=mv: _mv.refresh(), deps=deps,
+                  skip_if=skip_if)
+        elif kind == "export_json":
+            if spec["input"] not in objects:
+                raise ValueError(
+                    f"export {name!r}: input node {spec['input']!r} must be "
+                    "declared before it in the pipeline list"
+                )
+            src_obj = objects[spec["input"]]
+
+            def run_export(ctx, _o=src_obj, _path=spec["path"]):
+                publish_json(_o.read(), _path, gzip=False)
+                return {"path": _path}
+
+            p.add(name, run=run_export, deps=deps, skip_if=skip_if)
+        else:
+            raise ValueError(f"unknown pipeline node kind {kind!r}")
+    return p, objects
+
+
+def load_pipeline(spark: SparkSession, path: str):
+    import yaml
+
+    with open(path) as f:
+        return build_pipeline(spark, yaml.safe_load(f))

@@ -134,3 +134,88 @@ def test_publish_view_hides_internal_columns(spark):
     )
     publish_view(spark, "v_clean", df, schema=contract)
     assert spark.table("v_clean").columns == ["doc_id", "n_tok"]
+
+
+def test_declarative_pipeline_yaml_end_to_end(spark, tmp_path):
+    """pipeline.yaml -> ingest + rollup + export, run twice: the second run
+    finds no new epochs, the rollup noops, the export skips."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bigquery_etl_fork_spark import datagen
+    from bigquery_etl_fork_spark.metadata import load_pipeline
+
+    log = datagen.change_log(n_docs=120, n_events=600, n_epochs=3, seed=31)
+    pq.write_to_dataset(log, str(tmp_path / "log"), partition_cols=["epoch"])
+    (tmp_path / "seq.yaml").write_text(
+        """
+table:
+  name: sequences
+  num_buckets: 4
+  properties: {key_col: doc_id}
+schema:
+  - {name: doc_id, type: string}
+  - {name: tokens, type: "array<int>"}
+  - {name: n_tok, type: int}
+  - {name: source, type: string}
+engine:
+  key: doc_id
+  order: lsn
+  count_input: false
+"""
+    )
+    (tmp_path / "pipeline.yaml").write_text(
+        f"""
+pipeline:
+  - name: ingest
+    kind: cdc_ingest
+    table_yaml: {tmp_path}/seq.yaml
+    root: {tmp_path}/data
+    log_dir: {tmp_path}/log
+  - name: by_source
+    kind: rollup
+    deps: [ingest]
+    source: ingest
+    target: {tmp_path}/data/mv_by_source
+    group_cols: [source]
+    measures: {{n_docs: [count, null], total_tok: [sum, n_tok]}}
+  - name: publish
+    kind: export_json
+    deps: [by_source]
+    input: by_source
+    path: {tmp_path}/out/by_source
+    skip_if_noop: by_source
+"""
+    )
+    p, objects = load_pipeline(spark, str(tmp_path / "pipeline.yaml"))
+    r1 = p.run()
+    assert r1["ok"], r1
+    assert r1["nodes"]["ingest"]["value"]["epochs_applied"] == 3
+    assert r1["nodes"]["by_source"]["value"]["mode"] == "incremental"
+    assert r1["nodes"]["publish"]["status"] == "ran"
+    table, mv = objects["ingest"], objects["by_source"]
+    want = {
+        r["source"]: (r["n_docs"], r["total_tok"])
+        for r in table.read()
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tok"))
+        .collect()
+    }
+    exported = [
+        json.loads(line)
+        for f in os.listdir(tmp_path / "out" / "by_source")
+        if f.endswith(".json")
+        for line in open(tmp_path / "out" / "by_source" / f)
+    ]
+    assert {r["source"]: (r["n_docs"], r["total_tok"]) for r in exported} == want
+
+    # second scheduled run: nothing new anywhere
+    p2, _ = load_pipeline(spark, str(tmp_path / "pipeline.yaml"))
+    r2 = p2.run()
+    assert r2["ok"]
+    assert r2["nodes"]["ingest"]["value"]["mode"] == "noop"
+    assert r2["nodes"]["by_source"]["value"]["mode"] == "noop"
+    assert r2["nodes"]["publish"]["status"] == "skipped"
