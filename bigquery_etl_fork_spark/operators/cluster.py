@@ -110,15 +110,16 @@ def connected_components(
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(prev)).localCheckpoint(eager=True)
         nfp = fingerprint(nxt)
-        prev.unpersist()
         if nfp == fp:
-            # fingerprint equality is (count, hash-sum) — collision odds are
-            # negligible, but the terminal state is also self-certifying:
-            # a star forest has every parent strictly minimal, which the
-            # large/small star pair maps to itself, so a stale fingerprint
-            # would only ever delay convergence by one round, never corrupt.
-            prev = nxt
-            break
+            # fingerprint match is the cheap gate; certify EXACTLY with one
+            # set-difference job so a hash collision can never bless a
+            # non-terminal state: both sides are duplicate-free with equal
+            # counts (part of the fingerprint), so nxt ⊆ prev ⇒ nxt = prev.
+            if not nxt.exceptAll(prev).take(1):
+                prev.unpersist()
+                prev = nxt
+                break
+        prev.unpersist()
         prev, fp = nxt, nfp
     else:
         raise RuntimeError(
