@@ -4,8 +4,8 @@ Near-dup detection (minhash/simhash/embedding LSH) emits PAIRS; a real
 dedup pipeline needs GROUPS — every document labeled with the id of its
 duplicate cluster so one canonical survivor per cluster can be kept. The
 reference expresses the grouping implicitly inside its copy_deduplicate
-job (bigquery_etl/cli/dryrun.py-driven `copy_deduplicate` keeps one row
-per document_id); at 100 TB the pair graph itself is large, so the
+job (bigquery_etl/copy_deduplicate.py — one surviving row per
+document_id); at 100 TB the pair graph itself is large, so the
 grouping must be a distributed fixed-point computation, not a driver-side
 union-find.
 

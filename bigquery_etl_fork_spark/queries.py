@@ -1477,7 +1477,7 @@ FROM events GROUP BY 1, 2
 # Duplicate clusters: near-dup pairs -> connected components -> keep-list.
 # The grouping half of dedup that pair queries alone don't give you; the
 # reference's copy_deduplicate keeps one row per document_id
-# (bigquery_etl/cli/_utils + script/copy_deduplicate), which at pair-graph
+# (bigquery_etl/copy_deduplicate.py:70), which at pair-graph
 # scale requires a distributed fixed point, not a driver union-find.
 # --------------------------------------------------------------------------
 
