@@ -211,3 +211,17 @@ def test_pack_sequences_deterministic_across_partitioning(spark):
     ka = sorted((r["bucket"], r["seq_idx"], tuple(r["doc_ids"])) for r in a.collect())
     kb = sorted((r["bucket"], r["seq_idx"], tuple(r["doc_ids"])) for r in b.collect())
     assert ka == kb
+
+
+def test_cc_string_keys(spark):
+    """The north-star doc_id is a string; min-label must work on the
+    lexicographic order."""
+    pairs = spark.createDataFrame(
+        [("doc_b", "doc_a"), ("doc_c", "doc_b"), ("zz", "yy")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {
+        "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
+        "yy": "yy", "zz": "yy",
+    }
