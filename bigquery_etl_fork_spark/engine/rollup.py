@@ -50,6 +50,12 @@ class IncrementalRollup:
     GROUP BY it shadows). Sums over integer columns are exact; sums over
     floating columns accumulate retraction round-off — store money/metrics
     as integers or decimals, same rule the oracle-compare layer follows.
+
+    One deliberate divergence from flat GROUP BY: a group whose measure
+    values are ALL null stores sum 0, not NULL (additive maintenance folds
+    deltas into the identity; distinguishing "no non-null inputs" would
+    need a per-measure non-null count). Rows with null measures still
+    count toward n_rows/count measures. Pinned by test.
     """
 
     def __init__(

@@ -231,3 +231,42 @@ def test_rollup_matches_groupby_across_datagen_epochs(spark, tmp_path):
         }
         got = {r["source"]: (r["n_docs"], r["total_tok"]) for r in mv.read().collect()}
         assert got == want, f"divergence after epoch {e}"
+
+
+def test_rollup_all_null_measure_stores_zero_documented(spark, tmp_path):
+    """Documented divergence: an all-null-measure group stores sum 0 (the
+    additive identity), not NULL; counts still include the rows."""
+    src = _mk_source(spark, tmp_path, [("a", "x", None), ("b", "x", None)])
+    mv = _mk_rollup(spark, src, tmp_path)
+    mv.refresh()
+    _apply(spark, src, [("c", "x", None, 11, "I")], 1)
+    mv.refresh()
+    got = _got(mv)
+    assert got == {"x": (3, 0)}
+
+
+def test_rollup_concurrent_refresh_loses_cleanly(spark, tmp_path):
+    """Two racing refreshes of the same range: one commits, the other hits
+    the lake's optimistic-concurrency conflict instead of double-applying."""
+    from bigquery_etl_fork_spark.engine import IncrementalRollup
+    from bigquery_etl_fork_spark.lake import CommitConflict
+
+    src = _mk_source(spark, tmp_path, [("a", "x", 1)])
+    mv1 = _mk_rollup(spark, src, tmp_path)
+    mv1.refresh()
+    _apply(spark, src, [("b", "y", 2, 11, "I")], 1)
+    # a second handle that has NOT observed mv1's upcoming commit
+    mv2 = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["grp"],
+        measures={"n": ("count", None), "total": ("sum", "val")},
+    )
+    mv1.refresh()
+    with pytest.raises(CommitConflict):
+        mv2.refresh()
+    # the surviving lineage is correct and a fresh handle sees it
+    mv3 = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["grp"],
+        measures={"n": ("count", None), "total": ("sum", "val")},
+    )
+    assert mv3.refresh()["mode"] == "noop"
+    assert _got(mv3) == _expected(src)

@@ -215,3 +215,19 @@ def test_stateful_running_key_state(spark, tmp_path, data):
     assert set(got) == set(truth)
     mismatch = {k: (got[k], truth[k]) for k in truth if got[k] != truth[k]}
     assert not mismatch, list(mismatch.items())[:5]
+
+
+def test_stream_changelog_post_apply_hook(spark, tmp_path, data):
+    """The Structured Streaming variant fires post_apply once per applied
+    epoch, in order."""
+    t = _fresh(spark, tmp_path, data)
+    eng = CDCEngine(spark, t, count_input=False)
+    seen = []
+    q = stream_changelog(
+        eng, str(data["dir"] / "change_log"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        post_apply=lambda st: seen.append(st.epoch),
+    )
+    q.awaitTermination(120)
+    assert seen == [1, 2, 3, 4]
+    assert t.snapshot.properties["epoch_watermark"] == 4
