@@ -270,3 +270,41 @@ def test_rollup_concurrent_refresh_loses_cleanly(spark, tmp_path):
     )
     assert mv3.refresh()["mode"] == "noop"
     assert _got(mv3) == _expected(src)
+
+
+def test_rollup_property_random_op_sequences(spark, tmp_path):
+    """Property-style sweep: random I/U/D sequences across random groups;
+    after every epoch the maintained rollup equals a fresh GROUP BY."""
+    import random as _random
+
+    for seed in (0, 1, 2, 3):
+        rng = _random.Random(seed)
+        root = tmp_path / f"p{seed}"
+        src = _mk_source(
+            spark, root,
+            [(f"d{i}", f"g{rng.randrange(3)}", rng.randrange(100)) for i in range(20)],
+        )
+        mv = _mk_rollup(spark, src, root)
+        mv.refresh()
+        lsn = 100
+        live = {f"d{i}" for i in range(20)}
+        for epoch in range(1, 4):
+            rows = []
+            for _ in range(rng.randrange(1, 8)):
+                lsn += 1
+                r = rng.random()
+                if r < 0.25 and live:
+                    k = rng.choice(sorted(live))
+                    live.discard(k)
+                    rows.append((k, None, None, lsn, "D"))
+                elif r < 0.5:
+                    k = f"n{lsn}"
+                    live.add(k)
+                    rows.append((k, f"g{rng.randrange(3)}", rng.randrange(100), lsn, "I"))
+                else:
+                    k = rng.choice(sorted(live)) if live else f"n{lsn}"
+                    live.add(k)
+                    rows.append((k, f"g{rng.randrange(3)}", rng.randrange(100), lsn, "U"))
+            _apply(spark, src, rows, epoch)
+            mv.refresh()
+            assert _got(mv) == _expected(src), f"seed {seed} epoch {epoch}"
