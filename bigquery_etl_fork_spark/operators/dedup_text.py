@@ -42,10 +42,32 @@ def shingles_expr(text_col: str = "text", n: int = DEFAULT_SHINGLE_N):
     return F.when(F.size(w) >= n, grams).otherwise(F.array(F.col(text_col)))
 
 
+def array_shingles_expr(arr_col: str, n: int = DEFAULT_SHINGLE_N):
+    """n-gram shingles over an ARRAY column (the tokens-native form: the
+    north-star table carries token ids, not text). Elements are cast to
+    string and joined with '_', so any element type works; an array shorter
+    than n is its own shingle, mirroring the text form."""
+    a = F.transform(F.col(arr_col), lambda t: t.cast("string"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(a) - n),
+        lambda i: F.array_join(F.slice(a, i + 1, n), "_"),
+    )
+    return F.when(F.size(a) >= n, grams).otherwise(F.array(F.array_join(a, "_")))
+
+
+def _shingles_for(df: DataFrame, col: str, n: int):
+    """Pick the shingle form by column type: array columns shingle over
+    elements (tokens-native), string columns over words — so every dedup
+    kernel downstream (minhash/LSH) works unchanged on either."""
+    if dict(df.dtypes)[col].startswith("array"):
+        return array_shingles_expr(col, n)
+    return shingles_expr(col, n)
+
+
 def shingled(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3):
-    """(id, shingle) exploded + de-duplicated per doc."""
+    """(id, shingle) exploded + de-duplicated per doc; text or token-array."""
     return (
-        df.select(id_col, F.explode(shingles_expr(text_col, n)).alias("shingle"))
+        df.select(id_col, F.explode(_shingles_for(df, text_col, n)).alias("shingle"))
         .distinct()
     )
 
@@ -210,8 +232,13 @@ def _hex_char_val(ch):
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per doc: per-word md5 → long; each bit votes ±1."""
-    w = df.select(id_col, F.explode(words_col(text_col)).alias("w"))
+    """64-bit SimHash per doc: per-word md5 → long; each bit votes ±1.
+    Array columns vote per ELEMENT (tokens-native), strings per word."""
+    if dict(df.dtypes)[text_col].startswith("array"):
+        unit = F.transform(F.col(text_col), lambda t: t.cast("string"))
+    else:
+        unit = words_col(text_col)
+    w = df.select(id_col, F.explode(unit).alias("w"))
     h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")  # 60 bits
     nbits = min(bits, 60)
     votes = [

@@ -225,3 +225,45 @@ def test_cc_string_keys(spark):
         "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
         "yy": "yy", "zz": "yy",
     }
+
+
+# ---------------- tokens-native near-dup (north-star shape, no text) ------
+
+
+def test_minhash_over_token_arrays(spark):
+    """The dedup kernels accept ARRAY columns directly: identical token
+    sequences pair at est_jaccard 1.0, a one-token edit pairs high, and
+    disjoint sequences don't pair."""
+    from bigquery_etl_fork_spark.operators.dedup_text import minhash_lsh_pairs
+
+    base = list(range(1000, 1040))
+    edited = base[:20] + [9999] + base[21:]
+    rows = [
+        (1, base),
+        (2, list(base)),        # exact duplicate
+        (3, edited),            # near duplicate
+        (4, list(range(5000, 5040))),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(df, "doc_id", "tokens").collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs.get((1, 3), 0) >= 0.5
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_over_token_arrays(spark):
+    from bigquery_etl_fork_spark.operators.dedup_text import simhash_near_pairs
+
+    rows = [
+        (1, [7, 8, 9, 10, 11, 12]),
+        (2, [7, 8, 9, 10, 11, 12]),
+        (3, [700, 800, 900, 1000, 1100, 1200]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+           simhash_near_pairs(df, "doc_id", "tokens").collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
