@@ -200,6 +200,19 @@ def sample_id(key: Column, buckets: int = 100) -> Column:
     return F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int")
 
 
+def stratified_keep(key: Column, group: Column, fractions: dict, default: float = 1.0) -> Column:
+    """Deterministic per-group sampling predicate: keep a stable
+    ``fractions[group]`` share of keys in each group (down-sample
+    over-represented sources, keep the rest whole — the standard corpus
+    re-balancing move). Membership is content-addressed via
+    ``md5_uniform32``: adding rows never flips existing keys, and the
+    integer thresholds make the predicate exactly reproducible in SQL."""
+    expr = F.lit(int(default * 2**32))
+    for g, frac in sorted(fractions.items()):
+        expr = F.when(group == g, F.lit(int(frac * 2**32))).otherwise(expr)
+    return md5_uniform32(key) < expr
+
+
 def md5_uniform32(key: Column) -> Column:
     """Uniform value in [0, 2^32) from the first 8 md5-hex chars of the key
     — the CROSS-ENGINE-reproducible sibling of ``sample_id`` (md5 is

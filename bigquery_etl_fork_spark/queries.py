@@ -1746,6 +1746,41 @@ FROM documents GROUP BY 1, 2
 SQL_TRAIN_VAL_SPLIT = _sql_train_val_split()
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-group deterministic down-sampling (functions.stratified_keep):
+    keep 25% of src0 and 50% of src1, everything else whole — corpus
+    re-balancing with content-addressed membership (adding rows never flips
+    existing keys) and pure-integer thresholds (exactly SQL-reproducible)."""
+    d = load(spark, sf_dir, "documents")
+    keep = UF.stratified_keep(
+        F.col("doc_id"), F.col("source"), {"src0": 0.25, "src1": 0.5}
+    )
+    return d.where(keep).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+def _sql_stratified_sample():
+    hx = (
+        "list_sum([CAST(strpos('0123456789abcdef', "
+        "substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT) "
+        "<< (4 * (8 - i)) for i in range(1, 9)])"
+    )
+    cut = (
+        f"CASE WHEN source = 'src0' THEN {int(0.25 * 2**32)} "
+        f"WHEN source = 'src1' THEN {int(0.5 * 2**32)} "
+        f"ELSE {int(1.0 * 2**32)} END"
+    )
+    return f"""
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents WHERE {hx} < {cut} GROUP BY 1
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "join3_revenue": q_join3_revenue,
@@ -1794,6 +1829,7 @@ QUERIES = {
     "rollup_incremental": q_rollup_incremental,
     "corpus_prep": q_corpus_prep,
     "train_val_split": q_train_val_split,
+    "stratified_sample": q_stratified_sample,
     "cdc_replay": q_cdc_replay,
 }
 
@@ -1847,5 +1883,6 @@ ORACLES = {
     "rollup_incremental": SQL_ROLLUP_INCREMENTAL,
     "corpus_prep": SQL_CORPUS_PREP,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "cdc_replay": SQL_CDC_REPLAY,
 }

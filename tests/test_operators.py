@@ -329,3 +329,36 @@ def test_export_training_shards_deterministic(spark, tmp_path):
     assert a == b
     assert sorted(x for v in a.values() for x in v) == sorted(r[0] for r in rows)
     assert all(len(v) > 0 for v in a.values())
+
+
+def test_stratified_keep_rates_and_stability(spark):
+    from pyspark.sql import functions as F
+
+    from bigquery_etl_fork_spark.functions import stratified_keep
+
+    df = spark.range(4000).select(
+        F.col("id").cast("string").alias("k"),
+        F.when(F.col("id") % 2 == 0, "heavy").otherwise("light").alias("g"),
+    )
+    kept = df.where(
+        stratified_keep(F.col("k"), F.col("g"), {"heavy": 0.25})
+    ).groupBy("g").count().collect()
+    rates = {r["g"]: r["count"] for r in kept}
+    assert rates["light"] == 2000  # default 1.0 keeps everything
+    assert 380 <= rates["heavy"] <= 620  # ~25% of 2000, binomial slack
+    # content-addressed: the kept set is identical on a superset input
+    kept_ids = {
+        r["k"] for r in df.where(
+            stratified_keep(F.col("k"), F.col("g"), {"heavy": 0.25})
+        ).collect()
+    }
+    bigger = spark.range(8000).select(
+        F.col("id").cast("string").alias("k"),
+        F.when(F.col("id") % 2 == 0, "heavy").otherwise("light").alias("g"),
+    )
+    kept_ids2 = {
+        r["k"] for r in bigger.where(
+            stratified_keep(F.col("k"), F.col("g"), {"heavy": 0.25})
+        ).collect()
+    }
+    assert kept_ids == {k for k in kept_ids2 if int(k) < 4000}
