@@ -227,3 +227,43 @@ def test_read_deltas_since_skips_files_by_manifest_stats(spark, tmp_path):
     # boundary: floor exactly at a file's max excludes that file's rows
     at_max = {r["lsn"] for r in t.read_deltas_since(31).collect()}
     assert at_max == set()
+
+
+def test_read_deltas_since_across_schema_evolution(spark, tmp_path):
+    """Delta files written before an evolution project onto the evolved
+    schema (null-filled added column), same as the resolved read path."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "ev"), schema, num_buckets=2)
+    t.overwrite_all(spark.createDataFrame([("a", 1)], schema), key_col="doc_id")
+    t.append_delta(
+        [0, 1],
+        spark.createDataFrame(
+            [("k1", 10, 10, "U")], "doc_id string, n int, lsn long, op string"
+        ),
+        key_col="doc_id",
+    )
+    evolved = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n", T.LongType()),       # widened
+            T.StructField("lang", T.StringType()),  # added
+        ]
+    )
+    t.evolve_schema(evolved)
+    t.append_delta(
+        [0, 1],
+        spark.createDataFrame(
+            [("k2", 20, "fr", 20, "U")],
+            "doc_id string, n long, lang string, lsn long, op string",
+        ),
+        key_col="doc_id",
+    )
+    rows = {r["doc_id"]: r for r in t.read_deltas_since(0).collect()}
+    assert rows["k1"]["n"] == 10 and rows["k1"]["lang"] is None
+    assert rows["k2"]["n"] == 20 and rows["k2"]["lang"] == "fr"
+    assert t.read_deltas_since(0).schema["n"].dataType.typeName() == "long"
