@@ -267,3 +267,50 @@ def test_read_deltas_since_across_schema_evolution(spark, tmp_path):
     assert rows["k1"]["n"] == 10 and rows["k1"]["lang"] is None
     assert rows["k2"]["n"] == 20 and rows["k2"]["lang"] == "fr"
     assert t.read_deltas_since(0).schema["n"].dataType.typeName() == "long"
+
+
+def _race_commit(args):
+    """Child process: try to publish the same snapshot version."""
+    import time as _time
+
+    from bigquery_etl_fork_spark.lake.table import CommitConflict, LakeTable, Snapshot
+
+    root, version, writer_id, start_at = args
+    snap = Snapshot(
+        version=version,
+        schema_id=0,
+        schemas={"0": T.StructType([T.StructField("doc_id", T.StringType())]).json()},
+        num_buckets=2,
+        buckets={"0": [], "1": []},
+        properties={"writer": writer_id},
+        committed_at=0.0,
+    )
+    _time.sleep(max(0.0, start_at - _time.time()))  # synchronized start
+    try:
+        LakeTable._write_snapshot(root, snap)
+        return (writer_id, "won")
+    except CommitConflict:
+        return (writer_id, "conflict")
+
+
+def test_commit_point_is_cross_process_atomic(tmp_path):
+    """The os.link commit point must be exclusive across PROCESSES, not
+    just threads: 8 writers race the same version; exactly one wins and
+    the published snapshot is internally consistent (one writer's blob,
+    never a torn mix)."""
+    import json as _json
+    import multiprocessing as mp
+    import time as _time
+
+    root = str(tmp_path / "race")
+    os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
+    start = _time.time() + 0.5
+    with mp.get_context("spawn").Pool(8) as pool:
+        results = pool.map(
+            _race_commit, [(root, 7, f"w{i}", start) for i in range(8)]
+        )
+    wins = [w for w, s in results if s == "won"]
+    assert len(wins) == 1, results
+    with open(os.path.join(root, "_snapshots", "snap-0000000007.json")) as fh:
+        blob = _json.load(fh)
+    assert blob["properties"]["writer"] == wins[0]
