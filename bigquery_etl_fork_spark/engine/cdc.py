@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..lake import BUCKET_COL, LakeTable, bucket_id
+from ..lake import BUCKET_COL, CommitConflict, LakeTable, bucket_id
 from ..operators.dedup_lww import (
     lww_dedup,
     lww_dedup_bucket_clustered,
@@ -329,7 +329,7 @@ class CDCEngine:
                 "spark.sql.files.maxPartitionBytes", str(self._sized_split_bytes(est_bytes))
             )
         try:
-            stats = self._apply_epoch_inner(epoch, events, t0)
+            stats = self._apply_epoch_with_conflict_handling(epoch, events, t0)
             if self.post_commit_checks and stats.affected:
                 from .checks import run_checks
 
@@ -339,6 +339,36 @@ class CDCEngine:
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
             self.spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+
+    def _apply_epoch_with_conflict_handling(
+        self, epoch: int, events: DataFrame, t0: float
+    ) -> EpochStats:
+        """Make concurrent tailers on one table coexist instead of crash.
+
+        A lost optimistic-concurrency race (lake CommitConflict) means OUR
+        epoch commit did not happen — the losing attempt's staged files are
+        unreferenced (vacuum-able), so retrying is safe. After a refresh:
+        - watermark >= epoch → the OTHER writer applied this epoch; report
+          it skipped (exactly-once holds: exactly one writer's commit won).
+        - watermark < epoch → the conflict was a different commit (another
+          epoch, a compaction); retry on the fresh snapshot.
+        Compaction conflicts inside the epoch are handled separately (they
+        occur AFTER the epoch commit succeeded — see _apply_mor), so a
+        conflict escaping the inner path always means "epoch not applied".
+        """
+        last: CommitConflict | None = None
+        for _ in range(3):
+            try:
+                return self._apply_epoch_inner(epoch, events, t0)
+            except CommitConflict as e:
+                last = e
+                self.table.refresh()
+                watermark = self.table.snapshot.properties.get(WATERMARK_PROP, -1)
+                if watermark >= epoch:
+                    return EpochStats(
+                        epoch, 0, 0, 0, 0, time.time() - t0, skipped=True
+                    )
+        raise last
 
     def _dedup_payload(self, events: DataFrame, target: T.StructType) -> DataFrame:
         slim = events.select(self.key, self.order, self.op_col, *
@@ -511,9 +541,15 @@ class CDCEngine:
         counts = self.table.delta_file_counts(affected)
         to_compact = [b for b, c in counts.items() if c >= self.compact_files_per_bucket]
         if to_compact:
-            self.table.compact_buckets(
-                to_compact, key_col=self.key, order_col=self.order, op_col=self.op_col
-            )
+            try:
+                self.table.compact_buckets(
+                    to_compact, key_col=self.key, order_col=self.order, op_col=self.op_col
+                )
+            except CommitConflict:
+                # the EPOCH is committed; losing the compaction race to a
+                # concurrent writer only defers the fold — the next
+                # over-threshold epoch re-triggers it on a fresh snapshot
+                self.table.refresh()
         return EpochStats(
             epoch, events_in, rows_upserted, rows_deleted, len(affected),
             time.time() - t0, affected=list(affected),

@@ -187,3 +187,46 @@ def test_crash_between_commit_and_compaction_self_heals(spark, tmp_path, data, m
     assert all(e.epoch <= wm_after_crash for e in stats.epochs if e.skipped)
     assert calls["n"] >= 2  # compaction re-attempted after the crash
     assert_states_equal(_state_pdf(t2), replay_oracle(data["base"], data["log"]))
+
+
+def test_concurrent_tailers_coexist(spark, tmp_path):
+    """Two CDC writers on one table (stale-handle race): the loser of the
+    same-epoch race reports it skipped instead of crashing; a later-epoch
+    commit through the still-stale handle retries onto the fresh snapshot.
+    Exactly-once holds throughout (final state equals a single-writer
+    replay)."""
+    import pyspark.sql.types as T
+
+    from bigquery_etl_fork_spark.lake import LakeTable
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    root = str(tmp_path / "cc_tbl")
+    ta = LakeTable.create(spark, root, schema, num_buckets=2,
+                          properties={"key_col": "doc_id"})
+    ta.overwrite_all(
+        spark.createDataFrame([("a", 0)], schema), key_col="doc_id"
+    )
+    tb = LakeTable(spark, root)  # second writer's independent handle
+    ea = CDCEngine(spark, ta, key="doc_id", order="lsn", count_input=False)
+    eb = CDCEngine(spark, tb, key="doc_id", order="lsn", count_input=False)
+
+    e1 = spark.createDataFrame(
+        [("b", 1, 11, "I")], "doc_id string, n long, lsn long, op string"
+    )
+    st_a = ea.apply_epoch(1, e1)
+    assert not st_a.skipped
+    # B still holds the pre-epoch-1 snapshot: same-epoch race -> skipped
+    st_b = eb.apply_epoch(1, e1)
+    assert st_b.skipped
+    # B applies the NEXT epoch through its (still stale before retry) handle
+    e2 = spark.createDataFrame(
+        [("c", 2, 21, "I")], "doc_id string, n long, lsn long, op string"
+    )
+    st_b2 = eb.apply_epoch(2, e2)
+    assert not st_b2.skipped and st_b2.rows_upserted == 1
+    ta.refresh()
+    got = {r["doc_id"]: r["n"] for r in ta.read(key_col="doc_id").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+    assert ta.snapshot.properties["epoch_watermark"] == 2
