@@ -38,6 +38,7 @@ Scale shape per epoch (E events into a table of B buckets):
 from __future__ import annotations
 
 import os
+import random
 import time
 from dataclasses import dataclass, field
 from typing import Any, Iterable
@@ -116,6 +117,7 @@ class CDCEngine:
         mor_dedup: str = "auto",
         multiplicity_threshold: float = 4.0,
         post_commit_checks: list | None = None,
+        commit_retries: int = 6,
     ):
         if storage_mode not in ("mor", "cow"):
             raise ValueError(f"unknown storage_mode {storage_mode!r}")
@@ -135,6 +137,10 @@ class CDCEngine:
         self.min_shuffle_partitions = min_shuffle_partitions
         self.max_shuffle_partitions = max_shuffle_partitions
         self.compact_files_per_bucket = compact_files_per_bucket
+        # attempts per epoch commit under optimistic-concurrency conflicts;
+        # retries sleep with jittered exponential backoff (watermark check
+        # makes retries exactly-once-safe at any count)
+        self.commit_retries = commit_retries
         # CoW only: max distinct delta keys to broadcast into the survivors
         # anti join. Above this, a forced broadcast would hit Spark's hard
         # 8 GiB / 512M-row broadcast limits (or OOM the driver), so the
@@ -357,7 +363,7 @@ class CDCEngine:
         conflict escaping the inner path always means "epoch not applied".
         """
         last: CommitConflict | None = None
-        for _ in range(3):
+        for attempt in range(self.commit_retries):
             try:
                 return self._apply_epoch_inner(epoch, events, t0)
             except CommitConflict as e:
@@ -368,6 +374,13 @@ class CDCEngine:
                     return EpochStats(
                         epoch, 0, 0, 0, 0, time.time() - t0, skipped=True
                     )
+                # jittered exponential backoff before re-staging: back-to-back
+                # retries against a writer streaming non-epoch commits (e.g.
+                # a compaction loop) would burn every attempt inside one
+                # contention window; the watermark check above makes any
+                # number of extra retries exactly-once-safe
+                if attempt < self.commit_retries - 1:
+                    time.sleep(random.uniform(0, 0.1 * (2 ** attempt)))
         raise last
 
     def _dedup_payload(self, events: DataFrame, target: T.StructType) -> DataFrame:

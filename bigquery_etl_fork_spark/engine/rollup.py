@@ -77,34 +77,47 @@ class IncrementalRollup:
         self.key_col = key_col or source.snapshot.properties.get("key_col")
         if self.key_col is None:
             raise ValueError("key_col required (pass it or set table property)")
+        expected = self._expected_schema()
         if LakeTable.exists(target_root):
             self.target = LakeTable(spark, target_root)
+            got = [(f.name, f.dataType) for f in self.target.schema.fields]
+            want = [(f.name, f.dataType) for f in expected.fields]
+            if got != want:
+                raise ValueError(
+                    f"existing rollup at {target_root} does not match the "
+                    f"requested group_cols/measures: stored schema {got} != "
+                    f"expected {want} — rebinding with changed measures would "
+                    "silently corrupt the maintained state"
+                )
         else:
-            src_fields = {f.name: f for f in source.schema.fields}
-            fields = [src_fields[g] for g in self.group_cols]
-            fields.append(T.StructField(_NROWS, T.LongType()))
-            for name, (kind, col) in self.measures.items():
-                if kind == "count":
-                    fields.append(T.StructField(name, T.LongType()))
-                else:
-                    # Spark's sum() widens: integral -> long, float -> double,
-                    # decimal(p,s) -> decimal(p+10,s); mirror it so the stored
-                    # schema matches what the aggregation produces
-                    dt = src_fields[col].dataType
-                    if isinstance(dt, T.DecimalType):
-                        out = T.DecimalType(min(38, dt.precision + 10), dt.scale)
-                    elif isinstance(dt, (T.FloatType, T.DoubleType)):
-                        out = T.DoubleType()
-                    else:
-                        out = T.LongType()
-                    fields.append(T.StructField(name, out))
             self.target = LakeTable.create(
                 spark,
                 target_root,
-                T.StructType(fields),
+                expected,
                 num_buckets=min(source.num_buckets, 32),
                 properties={_VERSION_PROP: 0, "key_col": self.group_cols[0]},
             )
+
+    def _expected_schema(self) -> T.StructType:
+        src_fields = {f.name: f for f in self.source.schema.fields}
+        fields = [src_fields[g] for g in self.group_cols]
+        fields.append(T.StructField(_NROWS, T.LongType()))
+        for name, (kind, col) in self.measures.items():
+            if kind == "count":
+                fields.append(T.StructField(name, T.LongType()))
+            else:
+                # Spark's sum() widens: integral -> long, float -> double,
+                # decimal(p,s) -> decimal(p+10,s); mirror it so the stored
+                # schema matches what the aggregation produces
+                dt = src_fields[col].dataType
+                if isinstance(dt, T.DecimalType):
+                    out = T.DecimalType(min(38, dt.precision + 10), dt.scale)
+                elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                    out = T.DoubleType()
+                else:
+                    out = T.LongType()
+                fields.append(T.StructField(name, out))
+        return T.StructType(fields)
 
     # ---------------- aggregation pieces ----------------
 
@@ -251,13 +264,20 @@ class IncrementalRollup:
             bks = list(range(self.source.num_buckets))  # deliberate full scan
         state = self.source.read(buckets=bks, key_col=self.key_col, at_version=to_v)
         full = state.groupBy(*self.group_cols).agg(*self._agg_exprs(+1))
+        # bucket with the SAME function _apply_delta uses (_group_bucket over
+        # ALL group cols) and write via overwrite_buckets so the precomputed
+        # column is kept as-is; overwrite_all would re-derive the bucket from
+        # group_cols[0] alone and every later incremental refresh would then
+        # prune/merge against the wrong buckets for multi-column groups
         full = full.withColumn(
             BUCKET_COL, _group_bucket(self.group_cols, self.target.num_buckets)
         )
-        self.target.overwrite_all(
-            full.drop(BUCKET_COL),
+        self.target.overwrite_buckets(
+            list(range(self.target.num_buckets)),
+            full,
             key_col=self.group_cols[0],
             properties_update={_VERSION_PROP: to_v},
+            commit_op="rollup",
         )
         return {"mode": "full", "to": to_v}
 

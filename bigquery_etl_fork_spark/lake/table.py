@@ -733,7 +733,13 @@ class LakeTable:
         added: list[dict[str, Any]] = []
         for v in range(from_version + 1, to_version + 1):
             snap_v = new_snap if v == to_version else self.snapshot_at(v)
-            if snap_v.commit_op in ("overwrite", "promote"):
+            # allowlist of row-preserving ops: 'delta' adds the log rows the
+            # feed is built from; 'compact' rewrites files without changing
+            # any row; 'schema' changes no rows. Anything else ('overwrite',
+            # 'promote', 'rollup', future ops) replaced bucket state with
+            # base files outside the delta log, so the feed cannot be
+            # derived — raise rather than emit a silently incomplete feed.
+            if snap_v.commit_op not in ("delta", "compact", "schema"):
                 raise ValueError(
                     f"change feed over ({from_version}, {to_version}] is not "
                     f"derivable: version {v} is a '{snap_v.commit_op}' commit "
