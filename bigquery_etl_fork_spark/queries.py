@@ -925,16 +925,22 @@ def q_approx_distinct(spark, sf_dir):
     """HLL_COUNT analog (reference SURVEY §2.4). HLL internals can't match
     across engines, so the driver-checkable shape is: the EXACT distinct
     count (oracle-able) plus a Spark-computed boolean asserting the approx
-    estimate landed within 5% of it — whose oracle literal is TRUE. The
-    sketch runs at rsd=0.01 so the 5% bound holds with overwhelming margin
-    (the raw estimate itself is additionally bound in
-    tests/test_queries_oracle.py)."""
+    estimate landed within 5% of it — whose oracle literal is TRUE (HLL is
+    deterministic, so the bound is a fixed fact of the data, not a flaky
+    sample). Plan shape matters here: countDistinct + approx_count_distinct
+    in ONE agg forces Catalyst's expand/two-phase distinct plan (27x slower
+    at sf0.1). Instead, distinct the (event_type, user_id) projection first
+    — map-side partial agg collapses duplicates before the shuffle — then a
+    plain count AND the sketch over the already-distinct pairs give
+    identical semantics with two narrow hash aggregations and no expand."""
     ev = load(spark, sf_dir, "events")
     return (
-        ev.groupBy("event_type")
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+            F.count("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
         )
         .select(
             "event_type",
