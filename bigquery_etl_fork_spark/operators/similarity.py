@@ -167,13 +167,19 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_cells: int = 16,
     assign_mode: str = "auto",
+    seed_hash: str = "xxhash64",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF coarse quantizer with deterministic centroids: the n_cells rows
-    with the smallest xxhash64(id) are the centroids (seedless, stable);
+    with the smallest hash(id) are the centroids (seedless, stable);
     every vector is assigned to its nearest centroid by cosine. Returns
     (assigned_df with `cell` column, centroids). Assignment is map-side in
     both modes — no shuffle; cells become the partition pruning unit for
     probes (the inverted-file idea).
+
+    seed_hash picks the centroid ranking hash: "xxhash64" (JVM-cheap,
+    production default) or "md5" (functions.md5_uniform32 — reproducible
+    in any SQL engine, which is what makes the assignment oracle-checkable
+    cross-engine; see queries.q_ivf_assign).
 
     assign_mode:
       - "expr"   — an n_cells-wide Column expression (pure Catalyst). Fine
@@ -184,9 +190,17 @@ def ivf_assign(
       - "auto"   — expr for n_cells <= 64, pandas above. Both modes break
         similarity ties toward the HIGHEST cell id, so they are
         equality-testable."""
+    if seed_hash == "xxhash64":
+        hcol = F.xxhash64(F.col(id_col))
+    elif seed_hash == "md5":
+        from ..functions import md5_uniform32
+
+        hcol = md5_uniform32(F.col(id_col))
+    else:
+        raise ValueError(f"unknown seed_hash {seed_hash!r}")
     seeds = (
-        df.select(id_col, vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
-        .orderBy("_h")
+        df.select(id_col, vec_col, hcol.alias("_h"))
+        .orderBy("_h", id_col)
         .limit(n_cells)
         .collect()
     )

@@ -491,30 +491,87 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM (
   FROM sh0))"""
 
 
-SQL_MINHASH_LSH = (
-    "WITH "
-    + _sql_shingles(3)
-    + ",\nsig AS (SELECT doc_id, "
-    + ", ".join(
-        f"min(substring(md5('{k // 4}:' || shingle), {(k % 4) * 8 + 1}, 8)) AS h{k}"
-        for k in range(16)
-    )
-    + " FROM sh GROUP BY doc_id),\nbanded AS ("
-    + "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
-        + ", ".join(f"h{k}" for k in range(b * 4, b * 4 + 4))
-        + ")) AS key, * FROM sig"
-        for b in range(4)
-    )
-    + """)
+def _sql_minhash_body(num_hashes=16, bands=4):
+    """Signature -> band -> candidate-pair SQL over a prior CTE named `sh`
+    with columns (doc_id, shingle) — shared by the text and tokens-native
+    minhash oracles (identical kernel, different shingle derivation)."""
+    rows = num_hashes // bands
+    return (
+        ",\nsig AS (SELECT doc_id, "
+        + ", ".join(
+            f"min(substring(md5('{k // 4}:' || shingle), {(k % 4) * 8 + 1}, 8)) AS h{k}"
+            for k in range(num_hashes)
+        )
+        + " FROM sh GROUP BY doc_id),\nbanded AS ("
+        + "\nUNION ALL\n".join(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+            + ", ".join(f"h{k}" for k in range(b * rows, b * rows + rows))
+            + ")) AS key, * FROM sig"
+            for b in range(bands)
+        )
+        + """)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(("""
-    + " + ".join(f"CAST(a.h{k} = b.h{k} AS INT)" for k in range(16))
-    + """) / 16.0, 4) AS est_jaccard
+        + " + ".join(f"CAST(a.h{k} = b.h{k} AS INT)" for k in range(num_hashes))
+        + f""") / {num_hashes}.0, 4) AS est_jaccard
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """
-)
+    )
+
+
+SQL_MINHASH_LSH = "WITH " + _sql_shingles(3) + _sql_minhash_body(16, 4)
+
+
+def q_minhash_tokens(spark, sf_dir):
+    """Tokens-native minhash LSH — the north-star payload's dedup,
+    oracle-checked end-to-end (VERDICT r3 #3). The fixture corpus carries
+    text, so a deterministic tokenization (word -> md5-derived int32, the
+    md5_uniform32 technique mod 2^31-1) materializes the
+    `tokens:array<int32>` shape IN BOTH ENGINES; the shingle/minhash/band
+    kernel then runs on the token ARRAY via
+    operators.dedup_text.array_shingles_expr (reference analog: the
+    array-slice UDF family, sql/moz-fx-data-shared-prod/udf/array_slice/),
+    i.e. the exact code path a pre-tokenized training-sequence table
+    (BASELINE.json input_hint) would take."""
+    from .operators.dedup_text import minhash_lsh_pairs
+
+    d = load(spark, sf_dir, "documents")
+    tok = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: F.pmod(
+            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+            F.lit(2147483647),
+        ).cast("int"),
+    )
+    docs = d.select("doc_id", tok.alias("tokens"))
+    return minhash_lsh_pairs(docs, "doc_id", "tokens", n=3, num_hashes=16, bands=4)
+
+
+def _sql_token_shingles(n=3):
+    """Token-array shingle CTE mirroring q_minhash_tokens: per-word int32
+    token via md5-hex arithmetic, n-gram slices of the token ARRAY joined
+    with '_' (DuckDB list slicing is 1-based inclusive; range() excludes
+    its upper bound — i runs 1..len-n+1, matching Spark's slice(a, i+1, n)
+    for i in 0..size-n)."""
+    tok = (
+        "CAST(list_sum([CAST(strpos('0123456789abcdef', "
+        "substring(md5(x), i, 1)) - 1 AS BIGINT) << (4 * (8 - i)) "
+        "for i in range(1, 9)]) % 2147483647 AS INT)"
+    )
+    return f"""
+tk AS (SELECT doc_id, [{tok} for x in string_split(text, ' ')] AS tokens
+       FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tokens) >= {n}
+                THEN [array_to_string(tokens[i:i+{n - 1}], '_')
+                      for i in range(1, len(tokens) - {n - 2})]
+                ELSE [array_to_string(tokens, '_')] END) AS shingle
+  FROM tk))"""
+
+
+SQL_MINHASH_TOKENS = "WITH " + _sql_token_shingles(3) + _sql_minhash_body(16, 4)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -543,6 +600,56 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(i / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.1
 """
 )
+
+
+def q_ivf_assign(spark, sf_dir, n_cells: int = 16):
+    """IVF coarse-quantizer assignment with md5-ranked deterministic
+    centroids (VERDICT r3 #4): the 16 vec_ids with the smallest
+    md5_uniform32 rank seed the cells, every vector goes to its
+    nearest-by-cosine centroid (ties -> highest cell id). Reproducible in
+    pure SQL — argmax over a small centroids CTE — which promotes the last
+    pytest-only ANN surface to a driver-oracle row (the production path
+    keeps xxhash64 seeds and the mapInPandas matmul; mode equality is
+    pinned in tests/test_operators.py)."""
+    from .operators.similarity import ivf_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned, _cent = ivf_assign(
+        e, "vec_id", "embedding", n_cells=n_cells, assign_mode="expr",
+        seed_hash="md5",
+    )
+    return assigned.select("vec_id", "cell").orderBy("vec_id")
+
+
+def _sql_ivf_assign(n_cells: int = 16):
+    hx = (
+        "list_sum([CAST(strpos('0123456789abcdef', "
+        "substring(md5(CAST(vec_id AS VARCHAR)), i, 1)) - 1 AS BIGINT) "
+        "<< (4 * (8 - i)) for i in range(1, 9)])"
+    )
+    return f"""
+WITH ranked AS (
+  SELECT vec_id, embedding, {hx} AS hv FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cell,
+         embedding AS ce
+  FROM ranked ORDER BY hv, vec_id LIMIT {n_cells}),
+scored AS (
+  SELECT e.vec_id, c.cell,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.ce AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(c.ce AS DOUBLE[]),
+                                      CAST(c.ce AS DOUBLE[])))) AS sim
+  FROM embeddings e CROSS JOIN cent c)
+SELECT vec_id, CAST(cell AS INT) AS cell
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1
+ORDER BY vec_id
+"""
+
+
+SQL_IVF_ASSIGN = _sql_ivf_assign()
 
 
 def q_signlsh_topk_pairs(spark, sf_dir):
@@ -1532,6 +1639,21 @@ FROM assigned a JOIN sized s USING (cluster_id)
 # --------------------------------------------------------------------------
 
 
+def _hash_bucket8(col: str = "doc_id"):
+    """Production-shaped packing bucket (VERDICT r3 #7): hash the id, never
+    modulo it raw — a modulo on an auto-increment id correlates with ingest
+    time and skews bucket fill at scale. md5_uniform32 (not xxhash64) so
+    the DuckDB oracle reproduces the bucket bit-for-bit."""
+    return F.pmod(UF.md5_uniform32(F.col(col)), F.lit(8)).cast("int")
+
+
+_SQL_MD5U32_DOC = (
+    "list_sum([CAST(strpos('0123456789abcdef', "
+    "substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT) "
+    "<< (4 * (8 - i)) for i in range(1, 9)])"
+)
+
+
 def q_pack_sequences(spark, sf_dir):
     from .operators.packing import pack_sequences
 
@@ -1544,7 +1666,7 @@ def q_pack_sequences(spark, sf_dir):
     )
     packed = pack_sequences(
         d, "doc_id", "n_tok", max_len=256,
-        bucket=F.pmod("doc_id", F.lit(8)).cast("int"),
+        bucket=_hash_bucket8("doc_id"),
     )
     return packed.select(
         "bucket",
@@ -1557,13 +1679,16 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
-SQL_PACK_SEQUENCES = """
-WITH RECURSIVE d AS (
-  SELECT CAST(doc_id % 8 AS INT) AS bucket, doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-         CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
-              AS BIGINT) AS rn
+SQL_PACK_SEQUENCES = f"""
+WITH RECURSIVE d0 AS (
+  SELECT CAST({_SQL_MD5U32_DOC} % 8 AS INT) AS bucket, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
   FROM documents),
+d AS MATERIALIZED (
+  SELECT bucket, doc_id, n_tok,
+         CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+              AS BIGINT) AS rn
+  FROM d0),
 g AS (
     SELECT bucket, rn, doc_id, n_tok, 0 AS seq_idx, n_tok AS acc
     FROM d WHERE rn = 1
@@ -1632,7 +1757,7 @@ def q_corpus_prep(spark, sf_dir):
     )
     packed = pack_sequences(
         canon, "doc_id", "n_tok", max_len=256,
-        bucket=F.pmod("doc_id", F.lit(8)).cast("int"),
+        bucket=_hash_bucket8("doc_id"),
     )
     return packed.select(
         "bucket", "seq_idx", "n_docs", "n_tok",
@@ -1692,10 +1817,12 @@ pd AS MATERIALIZED (
   -- MATERIALIZED is load-bearing: the recursive pg below joins pd once per
   -- step, and an inlined pd would re-run the whole simhash+closure chain
   -- per recursion step (measured 184 s vs <1 s at sf0.01)
-  SELECT CAST(doc_id % 8 AS INT) AS bucket, doc_id, n_tok,
-         CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+  SELECT bucket, doc_id, n_tok,
+         CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
               AS BIGINT) AS rn
-  FROM canon),
+  FROM (SELECT CAST("""
+        + _SQL_MD5U32_DOC
+        + """ % 8 AS INT) AS bucket, doc_id, n_tok FROM canon) pd0),
 pg AS (
     SELECT bucket, rn, doc_id, n_tok, 0 AS seq_idx, n_tok AS acc
     FROM pd WHERE rn = 1
@@ -1805,9 +1932,11 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "cosine_topk": q_cosine_topk,
     "minhash_lsh": q_minhash_lsh,
+    "minhash_tokens": q_minhash_tokens,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "signlsh_topk_pairs": q_signlsh_topk_pairs,
+    "ivf_assign": q_ivf_assign,
     "hourly_tumbling": q_hourly_tumbling,
     "lang_quality": q_lang_quality,
     "right_outer": q_right_outer,
@@ -1857,9 +1986,11 @@ ORACLES = {
     "exact_dedup_docs": SQL_EXACT_DEDUP,
     "cosine_topk": SQL_COSINE_TOPK,
     "minhash_lsh": SQL_MINHASH_LSH,
+    "minhash_tokens": SQL_MINHASH_TOKENS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash_pairs": SQL_SIMHASH,
     "signlsh_topk_pairs": SQL_SIGNLSH_TOPK,
+    "ivf_assign": SQL_IVF_ASSIGN,
     "hourly_tumbling": SQL_HOURLY_TUMBLING,
     "lang_quality": _sql_lang_quality(),
     "right_outer": SQL_RIGHT_OUTER,
