@@ -1844,6 +1844,31 @@ FROM pg GROUP BY bucket, seq_idx
 SQL_CORPUS_PREP = _sql_corpus_prep()
 
 
+def q_export_shards(spark, sf_dir, num_shards: int = 8):
+    """The deterministic pre-shuffled shard layout the training-export sink
+    writes (sources.export.shard_plan / export_training_shards — reference
+    analog public_data/publish_json.py): shard membership and in-shard
+    order rank are pure md5 math over the key, so the whole layout is a
+    relation an independent SQL engine reproduces exactly (VERDICT r3 #5).
+    File-level behavior (partition dirs, maxRecordsPerFile, re-run
+    byte-identity) is pinned against this same plan in tests."""
+    from .sources.export import shard_plan
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return shard_plan(d, "doc_id", num_shards)
+
+
+SQL_EXPORT_SHARDS = f"""
+WITH u AS (
+  SELECT doc_id, source, n_chars, {_SQL_MD5U32_DOC} AS hu FROM documents)
+SELECT CAST(hu % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hu % 8 ORDER BY hu, doc_id)
+            AS INT) AS order_rank,
+       doc_id, source, n_chars
+FROM u
+"""
+
+
 def q_train_val_split(spark, sf_dir, val_frac: float = 0.1):
     """Deterministic train/val assignment by md5-derived uniform hash of
     the key (functions.md5_uniform32) — reproducible across engines,
@@ -1963,6 +1988,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "rollup_incremental": q_rollup_incremental,
     "corpus_prep": q_corpus_prep,
+    "export_shards": q_export_shards,
     "train_val_split": q_train_val_split,
     "stratified_sample": q_stratified_sample,
     "cdc_replay": q_cdc_replay,
@@ -2019,6 +2045,7 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "rollup_incremental": SQL_ROLLUP_INCREMENTAL,
     "corpus_prep": SQL_CORPUS_PREP,
+    "export_shards": SQL_EXPORT_SHARDS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "cdc_replay": SQL_CDC_REPLAY,

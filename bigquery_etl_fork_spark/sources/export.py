@@ -55,14 +55,8 @@ def export_training_shards(
     100-TB export still yields loader-friendly files without a second
     shuffle. Re-running over the same rows writes byte-identical shard
     MEMBERSHIP and ORDER regardless of input partitioning."""
-    from pyspark.sql import functions as F
-
-    from ..functions import md5_uniform32
-
-    u = md5_uniform32(F.col(key_col))
     out = (
-        df.withColumn("_shard", (u % num_shards).cast("int"))
-        .withColumn("_u", u)
+        _with_shard_cols(df, key_col, num_shards)
         .repartition("_shard")
         .sortWithinPartitions("_shard", "_u", key_col)
     )
@@ -70,3 +64,36 @@ def export_training_shards(
     if rows_per_file is not None:
         writer = writer.option("maxRecordsPerFile", rows_per_file)
     getattr(writer, fmt)(path)
+
+
+def _with_shard_cols(df: DataFrame, key_col: str, num_shards: int) -> DataFrame:
+    """The shard math shared by the sink and its oracle-able plan:
+    _shard = md5_uniform32(key) mod num_shards, _u = the uniform itself."""
+    from pyspark.sql import functions as F
+
+    from ..functions import md5_uniform32
+
+    u = md5_uniform32(F.col(key_col))
+    return df.withColumn("_shard", (u % num_shards).cast("int")).withColumn("_u", u)
+
+
+def shard_plan(df: DataFrame, key_col: str, num_shards: int) -> DataFrame:
+    """The logical layout ``export_training_shards`` writes, as a relation:
+    (shard, order_rank, *payload). Pure md5 math over the key — exactly
+    reproducible in any SQL engine, so the sink's membership and order are
+    oracle-checkable without reading files back (the file-level behavior is
+    pinned against this plan in tests)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rank = F.row_number().over(
+        W.partitionBy("_shard").orderBy("_u", key_col)
+    )
+    return (
+        _with_shard_cols(df, key_col, num_shards)
+        .select(
+            F.col("_shard").alias("shard"),
+            rank.alias("order_rank"),
+            *[c for c in df.columns],
+        )
+    )

@@ -137,6 +137,79 @@ def test_changes_refuses_rollup_commit(spark, tmp_path):
         t.changes(v0, key_col="k")
 
 
+def test_external_sources_options_roundtrip(spark, tmp_path):
+    """VERDICT r3 #6: external CSV/JSON beyond the happy path — headerless
+    CSV, declared dtypes surviving the read, and JSON lines with missing
+    fields null-filling (the declared-schema contract: no inference, stable
+    plans)."""
+    from pyspark.sql import types as T
+
+    from bigquery_etl_fork_spark.sources import read_csv, read_json
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    # headerless: first line IS data
+    (tmp_path / "nohdr.csv").write_text("1,a,0.5\n2,b,1.25\n")
+    c = read_csv(spark, str(tmp_path / "nohdr.csv"), schema, header=False)
+    assert [f.dataType for f in c.schema.fields] == [
+        T.LongType(), T.StringType(), T.DoubleType()
+    ]
+    assert {(r.id, r.name, r.score) for r in c.collect()} == {
+        (1, "a", 0.5), (2, "b", 1.25)
+    }
+    # header=True must skip the header row, not read it as data
+    (tmp_path / "hdr.csv").write_text("id,name,score\n3,c,2.0\n")
+    h = read_csv(spark, str(tmp_path / "hdr.csv"), schema, header=True)
+    assert [(r.id, r.name, r.score) for r in h.collect()] == [(3, "c", 2.0)]
+    # json lines: missing fields become null under the declared schema
+    (tmp_path / "x.json").write_text(
+        '{"id": 1, "name": "a", "score": 0.5}\n{"id": 2}\n'
+    )
+    j = read_json(spark, str(tmp_path / "x.json"), schema, view_name="ext_j4")
+    got = {(r.id, r.name, r.score) for r in j.collect()}
+    assert got == {(1, "a", 0.5), (2, None, None)}
+    assert spark.sql("SELECT count(*) FROM ext_j4").collect()[0][0] == 2
+
+
+def test_export_shards_match_shard_plan(spark, tmp_path):
+    """The files export_training_shards writes follow shard_plan exactly:
+    same membership, same in-file order (the oracle-checked relation is the
+    sink's contract, VERDICT r3 #5)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bigquery_etl_fork_spark.sources.export import (
+        export_training_shards,
+        shard_plan,
+    )
+
+    rows = [(f"doc{i}", i * 3 % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, v int").repartition(7)
+    out = str(tmp_path / "sh")
+    export_training_shards(df, out, key_col="doc_id", num_shards=4)
+    plan = {
+        s: [r["doc_id"] for r in g]
+        for s, g in __import__("itertools").groupby(
+            shard_plan(df, "doc_id", 4)
+            .orderBy("shard", "order_rank")
+            .collect(),
+            key=lambda r: r["shard"],
+        )
+    }
+    for s in range(4):
+        files = sorted(glob.glob(f"{out}/_shard={s}/*.parquet"))
+        written = [
+            d for f in files for d in pq.read_table(f).to_pandas()["doc_id"]
+        ]
+        assert written == plan[s]
+
+
 def test_rollup_rebind_with_changed_measures_raises(spark, tmp_path):
     """ADVICE r3 (low): re-instantiating over an existing target with
     different measures must fail loudly, not misbind."""
