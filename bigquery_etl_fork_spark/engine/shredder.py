@@ -33,6 +33,12 @@ class ShredResult:
     seconds: float
 
 
+# tombstone LSN for change-emitting shreds: a GDPR delete overrides any
+# pending delta row regardless of its LSN, so the tombstone must sort above
+# every real log sequence number (real LSNs are wall-clock-ish, far below)
+SHRED_LSN = 1 << 62
+
+
 def shred_keys(
     spark: SparkSession,
     table: LakeTable,
@@ -42,6 +48,7 @@ def shred_keys(
     op_col: str = "op",
     vacuum: bool = True,
     max_buckets_per_task: int = 16,
+    emit_changes: bool = False,
 ) -> ShredResult:
     """Physically remove every row whose key is in ``keys``.
 
@@ -49,6 +56,20 @@ def shred_keys(
     of the reference's per-partition task splitting that bounds single-job
     size (``--max-single-dml-bytes``, ``delete.py:103-111``). Each group
     commit is atomic and idempotent, so a crashed shred can simply be re-run.
+
+    ``emit_changes=True`` makes the shred DERIVABLE by change-feed
+    consumers (the reference's shredder-vs-aggregate reconciliation
+    problem, ``backfill/shredder_mitigation.py:455``): phase 1 appends
+    tombstone delta records for the keys in ONE atomic 'delta' commit (the
+    logical delete — downstream ``changes()`` emits them as op='D'
+    retracts, so an IncrementalRollup refresh stays O(changed keys)); phase
+    2 compacts the affected buckets ('compact' commits — row-preserving by
+    construction, the resolved view is identical before/after), which IS
+    the physical removal. With ``emit_changes=False`` (default) the rewrite
+    commits as 'overwrite' and consumers fall back to full recompute.
+    Consumers must refresh past the shred versions BEFORE the superseded
+    snapshots are expired — pass ``vacuum=False`` and vacuum after
+    downstream refreshes when feeds hang off the table.
 
     NOTE: with ``vacuum=True`` the shred expires ALL historical snapshots
     (GDPR: deleted bytes must not survive in time-travelable versions), so
@@ -78,34 +99,69 @@ def shred_keys(
     rows_after = 0
     buckets_rewritten = 0
     delta_counts = table.delta_file_counts(affected)
-    for i in range(0, len(affected), max_buckets_per_task):
-        group = affected[i : i + max_buckets_per_task]
-        current = table.read(group, key_col=key_col, order_col=order_col, op_col=op_col)
-        survivors = current.join(keys, on=key_col, how="left_anti")
-        if all(delta_counts.get(b, 0) == 0 for b in group):
-            # compacted buckets: resolved row count == sum of Parquet footer
-            # rows — free accounting, no extra count job
-            pre = table.snapshot
-            before = sum(
-                f["rows"] for b in group for f in pre.buckets.get(str(b), [])
-            )
-        else:
-            # deltas present: footer rows include tombstones/duplicates, so
-            # count the resolved view (only path that pays a count job)
-            before = current.count()
-        snap = table.overwrite_buckets(
-            group,
-            survivors,
+    pre_tomb_version = table.snapshot.version
+    if emit_changes:
+        # phase 1: one atomic tombstone-delta commit covering every key —
+        # the logical delete, derivable via changes() as op='D' retracts
+        sch = table.schema
+        tomb = keys.select(
+            F.col(key_col),
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in sch.fields
+                if f.name != key_col
+            ],
+            F.lit(SHRED_LSN).alias(order_col),
+            F.lit("D").alias(op_col),
+        )
+        table.append_delta(
+            affected,
+            tomb,
             key_col=key_col,
             lineage=[
-                {
-                    "op": "shred",
-                    "partition_id": b,
-                    "committed_at": time.time(),
-                }
-                for b in group
+                {"op": "shred_tombstone", "partition_id": b, "committed_at": time.time()}
+                for b in affected
             ],
         )
+    for i in range(0, len(affected), max_buckets_per_task):
+        group = affected[i : i + max_buckets_per_task]
+        if emit_changes:
+            # accounting reads the PRE-tombstone resolved view for `before`
+            before = table.read(
+                group, key_col=key_col, order_col=order_col, op_col=op_col,
+                at_version=pre_tomb_version,
+            ).count()
+            # phase 2: physical removal — compaction resolves the tombstones
+            # away and rewrites base files; 'compact' is row-preserving so
+            # the feed over this range stays derivable
+            snap = table.compact_buckets(group, key_col=key_col, order_col=order_col, op_col=op_col)
+        else:
+            current = table.read(group, key_col=key_col, order_col=order_col, op_col=op_col)
+            survivors = current.join(keys, on=key_col, how="left_anti")
+            if all(delta_counts.get(b, 0) == 0 for b in group):
+                # compacted buckets: resolved row count == sum of Parquet
+                # footer rows — free accounting, no extra count job
+                pre = table.snapshot
+                before = sum(
+                    f["rows"] for b in group for f in pre.buckets.get(str(b), [])
+                )
+            else:
+                # deltas present: footer rows include tombstones/duplicates,
+                # so count the resolved view (only path paying a count job)
+                before = current.count()
+            snap = table.overwrite_buckets(
+                group,
+                survivors,
+                key_col=key_col,
+                lineage=[
+                    {
+                        "op": "shred",
+                        "partition_id": b,
+                        "committed_at": time.time(),
+                    }
+                    for b in group
+                ],
+            )
         after = sum(
             f["rows"] for b in group for f in snap.buckets.get(str(b), [])
         )

@@ -137,6 +137,71 @@ def test_changes_refuses_rollup_commit(spark, tmp_path):
         t.changes(v0, key_col="k")
 
 
+def test_shred_emit_changes_flows_to_rollup_as_retracts(spark, tmp_path):
+    """VERDICT r3 #9: a GDPR delete with emit_changes=True must flow through
+    changes() as op='D' retracts so a downstream IncrementalRollup refresh
+    stays on the O(changed-keys) incremental path — while still physically
+    removing the rows (the reference's shredder-vs-aggregate reconciliation,
+    backfill/shredder_mitigation.py:455)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bigquery_etl_fork_spark.engine.shredder import shred_keys
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"g{i % 3}", i) for i in range(30)],
+        "doc_id string, grp string, val long",
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), df.schema, num_buckets=4,
+        properties={"key_col": "doc_id"},
+    )
+    src.overwrite_all(df, key_col="doc_id")
+    mv = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["grp"],
+        measures={"n": ("count", None), "total": ("sum", "val")},
+    )
+    assert mv.refresh()["mode"] == "full"
+    v_before = src.snapshot.version
+
+    res = shred_keys(
+        spark, src, ["d0", "d7", "d14"], key_col="doc_id",
+        vacuum=False, emit_changes=True,
+    )
+    assert res.rows_deleted == 3
+
+    # the feed over the shred range is derivable and carries the deletes
+    ch = src.changes(v_before, key_col="doc_id")
+    dels = {r["doc_id"] for r in ch.where("op = 'D'").collect()}
+    assert {"d0", "d7", "d14"} <= dels
+
+    r = mv.refresh()
+    assert r["mode"] == "incremental"  # NOT a full recompute
+    got = {row["grp"]: (row["n"], row["total"]) for row in mv.read().collect()}
+    exp = {
+        row["grp"]: (row["n"], row["total"])
+        for row in src.read()
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("val").alias("total"))
+        .collect()
+    }
+    assert got == exp
+    assert got["g0"][0] == 9  # 10 docs in g0 (i%3==0), minus shredded d0
+
+    # physical removal: no current-snapshot data file contains the keys
+    src.expire_snapshots(keep_last=1)
+    src.vacuum()
+    live = set()
+    for f in glob.glob(str(tmp_path / "src" / "**" / "*.parquet"), recursive=True):
+        live |= set(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    assert not ({"d0", "d7", "d14"} & live)
+
+    # contrast: the default (non-emitting) shred forces full recompute
+    shred_keys(spark, src, ["d1"], key_col="doc_id", vacuum=False)
+    assert mv.refresh()["mode"] == "full"
+
+
 def test_external_sources_options_roundtrip(spark, tmp_path):
     """VERDICT r3 #6: external CSV/JSON beyond the happy path — headerless
     CSV, declared dtypes surviving the read, and JSON lines with missing
