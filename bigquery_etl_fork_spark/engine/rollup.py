@@ -143,7 +143,32 @@ class IncrementalRollup:
         Incremental when the range is change-feed-derivable; falls back to a
         full recompute when it isn't (an overwrite/promote rewrote state
         out-of-band) or when the rollup has never been initialized.
+
+        Concurrent-refresher safe: the data rewrite and the new version
+        pointer commit atomically, so losing an optimistic-concurrency race
+        on the target means OUR fold did not happen — re-read the winner's
+        pointer and fold the remaining (possibly empty) range. Exactly-once
+        per closed version range, any number of racing refreshers.
         """
+        import random
+        import time as _time
+
+        from ..lake import CommitConflict
+
+        last: Exception | None = None
+        for attempt in range(5):
+            # pick up concurrent source commits (a live tailer) and, after a
+            # lost race, the winning refresher's version pointer
+            self.source.refresh()
+            self.target.refresh()
+            try:
+                return self._refresh_once()
+            except CommitConflict as e:
+                last = e
+                _time.sleep(random.uniform(0, 0.05 * (2**attempt)))
+        raise last
+
+    def _refresh_once(self) -> dict[str, Any]:
         from_v = self.last_source_version
         to_v = self.source.snapshot.version
         if to_v == from_v:

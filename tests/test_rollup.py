@@ -246,10 +246,11 @@ def test_rollup_all_null_measure_stores_zero_documented(spark, tmp_path):
 
 
 def test_rollup_concurrent_refresh_loses_cleanly(spark, tmp_path):
-    """Two racing refreshes of the same range: one commits, the other hits
-    the lake's optimistic-concurrency conflict instead of double-applying."""
+    """Two racing refreshes of the same range: one commits; the other's
+    stale handle re-reads the winner's version pointer on refresh() and
+    no-ops instead of double-applying (conflict-aware refresh, round 4 —
+    the version fence makes every closed range fold exactly once)."""
     from bigquery_etl_fork_spark.engine import IncrementalRollup
-    from bigquery_etl_fork_spark.lake import CommitConflict
 
     src = _mk_source(spark, tmp_path, [("a", "x", 1)])
     mv1 = _mk_rollup(spark, src, tmp_path)
@@ -261,9 +262,9 @@ def test_rollup_concurrent_refresh_loses_cleanly(spark, tmp_path):
         measures={"n": ("count", None), "total": ("sum", "val")},
     )
     mv1.refresh()
-    with pytest.raises(CommitConflict):
-        mv2.refresh()
-    # the surviving lineage is correct and a fresh handle sees it
+    assert mv2.refresh()["mode"] == "noop"  # fenced: range already folded
+    assert _got(mv2) == _expected(src)
+    # a fresh handle agrees
     mv3 = IncrementalRollup(
         spark, src, str(tmp_path / "mv"), group_cols=["grp"],
         measures={"n": ("count", None), "total": ("sum", "val")},
