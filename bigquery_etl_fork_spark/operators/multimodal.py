@@ -9,12 +9,16 @@ uncompressed public formats — pure numpy, no external codec libraries:
 - netpbm binary images (``P5`` grayscale / ``P6`` RGB): header parse +
   ``np.frombuffer`` pixel plane;
 - RIFF/WAVE PCM audio (8/16-bit): chunk walk + vectorized amplitude stats;
+- PNG images (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced): chunk walk,
+  stdlib ``zlib`` inflate, full scanline unfiltering (filter types 0-4
+  incl. Paeth) — a REAL compressed codec with zero external dependencies;
 - the deterministic ``MM01`` fake format (``synth_media_table``) kept for
   plumbing tests.
 
-COMPRESSED formats (JPEG/PNG/MP3/...) are the only gated path: they need
-Pillow/torchaudio, absent in this environment, so they raise
-``NotImplementedError`` until installed.
+Entropy-coded formats whose codecs are not in the standard library
+(JPEG/MP3/...) are the only gated path: they need Pillow/torchaudio,
+absent in this environment, so they raise ``NotImplementedError`` until
+installed.
 
 Fake blob layout (little-endian): magic ``MM01`` | u16 width | u16 height |
 u8 channels | payload bytes (one per pixel-ish unit).
@@ -154,6 +158,137 @@ def synth_real_media_table(n: int = 24, seed: int = 17) -> pa.Table:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (8-bit, non-palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_line(ft: int, row, prev, bpp: int):
+    """Apply PNG filter ``ft`` to a reconstructed scanline (encoder side).
+    uint8 arithmetic wraps mod 256, exactly the spec's requirement."""
+    left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]]) if len(row) > bpp else np.zeros_like(row)
+    upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]]) if len(prev) > bpp else np.zeros_like(prev)
+    if ft == 0:
+        return row.copy()
+    if ft == 1:
+        return row - left
+    if ft == 2:
+        return row - prev
+    if ft == 3:
+        return row - ((left.astype(np.uint16) + prev.astype(np.uint16)) // 2).astype(np.uint8)
+    if ft == 4:
+        a, b, c = left.astype(np.int32), prev.astype(np.int32), upleft.astype(np.int32)
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        return row - pred.astype(np.uint8)
+    raise ValueError(f"unknown PNG filter {ft}")
+
+
+def synth_png(
+    w: int, h: int, channels: int = 3, seed: int = 0, filters: list[int] | None = None
+) -> bytes:
+    """A valid 8-bit non-interlaced PNG with random pixels; ``filters``
+    selects the per-scanline filter type (default 0) so tests can exercise
+    every unfilter path against known ground-truth pixels."""
+    import zlib
+
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w * channels), dtype=np.uint8)
+    fts = filters if filters is not None else [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * channels, np.uint8)
+    for r in range(h):
+        raw += bytes([fts[r]])
+        raw += _png_filter_line(fts[r], px[r], prev, channels).tobytes()
+        prev = px[r]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(blob: bytes) -> tuple[int, int, int, float, bool]:
+    """PNG: chunk walk -> IHDR dims -> zlib-inflate the IDAT stream ->
+    unfilter every scanline (types 0-4). 8-bit non-interlaced gray /
+    gray+alpha / RGB / RGBA; palette or 16-bit stay gated."""
+    import zlib
+
+    i = len(_PNG_SIG)
+    w = h = colortype = None
+    idat = bytearray()
+    while i + 8 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[i : i + 4])
+        tag = blob[i + 4 : i + 8]
+        body = blob[i + 8 : i + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise NotImplementedError(f"{depth}-bit PNG not supported")
+            if interlace:
+                raise NotImplementedError("interlaced PNG not supported")
+            if colortype not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {colortype} not supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if w is None or not idat:
+        raise NotImplementedError("malformed PNG: missing IHDR/IDAT")
+    c = _PNG_CHANNELS[colortype]
+    stride = w * c
+    raw = zlib.decompress(bytes(idat))
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        ft = raw[pos]
+        rec = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        prev = out[r - 1] if r else np.zeros(stride, np.uint8)
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up — vectorized (no left dependency)
+            rec += prev
+        elif ft == 1:  # Sub — per-lane prefix sum over the row
+            for j in range(c, stride):
+                rec[j] = (int(rec[j]) + int(rec[j - c])) & 0xFF
+        elif ft == 3:  # Average — sequential left dependency
+            for j in range(stride):
+                left = int(rec[j - c]) if j >= c else 0
+                rec[j] = (int(rec[j]) + (left + int(prev[j])) // 2) & 0xFF
+        elif ft == 4:  # Paeth — sequential left dependency
+            for j in range(stride):
+                a = int(rec[j - c]) if j >= c else 0
+                b = int(prev[j])
+                cc = int(prev[j - c]) if j >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[j] = (int(rec[j]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter {ft} not supported")
+        out[r] = rec
+    return int(w), int(h), c, float(out.mean()) if out.size else 0.0, True
+
+
 def _parse_netpbm(blob: bytes) -> tuple[int, int, int, float, bool]:
     """Binary netpbm (P5 grayscale / P6 RGB): ASCII header (width height
     maxval, # comments allowed) then a raw pixel plane."""
@@ -225,14 +360,16 @@ def _decode_blob(blob: bytes) -> tuple[int, int, int, float, bool]:
         return _parse_netpbm(blob)
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return _parse_wav(blob)
+    if blob[: len(_PNG_SIG)] == _PNG_SIG:
+        return _parse_png(blob)
     try:
         import PIL  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "compressed-format decode requires Pillow; netpbm/WAV/fake blobs "
-            "decode natively in this environment"
+            "entropy-coded decode (JPEG/MP3/...) requires Pillow/torchaudio; "
+            "netpbm/WAV/PNG/fake blobs decode natively in this environment"
         ) from None
-    raise NotImplementedError("compressed decode path not implemented")
+    raise NotImplementedError("entropy-coded decode path not implemented")
 
 
 def decode_media(df: DataFrame, batch_hook=None) -> DataFrame:

@@ -110,3 +110,26 @@ def test_asof_jvm_plan_single_shuffle_no_python(spark):
     # one hash-partitioning exchange on the key feeds the carry-forward
     # window; the pandas cogroup mode would need two
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_approx_distinct_plan_has_no_expand(spark):
+    """countDistinct + approx_count_distinct in ONE agg forces Catalyst's
+    expand/two-phase distinct plan (27x at sf0.1, BENCH_r03); the
+    distinct-projection-first shape must stay expand-free (round-4 fix)."""
+    from bigquery_etl_fork_spark.queries import q_approx_distinct
+
+    plan = explain_string(q_approx_distinct(spark, SF))
+    assert "Expand" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_ivf_assign_plan_is_map_side(spark):
+    """Cell assignment is a per-row expression over broadcast centroids —
+    no Python, and no exchange beyond the final presentation sort."""
+    from bigquery_etl_fork_spark.queries import q_ivf_assign
+
+    plan = explain_string(q_ivf_assign(spark, SF))
+    assert "Python" not in plan
+    # one rangepartitioning exchange for the ORDER BY, nothing else (the
+    # formatted plan prints each node twice: tree + detail section)
+    assert plan.count("+- Exchange") <= 1
