@@ -225,6 +225,82 @@ def ngram_jaccard_pairs(
     return j.where(F.col("jaccard") >= threshold)
 
 
+def contamination_pairs(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Training-set contamination against a benchmark/eval set by EXACT
+    n-gram overlap (the GPT-3/PaLM decontamination rule: a training doc is
+    contaminated if it shares any length-n token/word gram with an eval
+    example). Returns (id, bench_id, n_shared) per overlapping pair.
+
+    Scale shape: both sides shingle with the same kernel as the dedup
+    family (text or token-array columns), then ONE equi-join on the
+    shingle. The benchmark side is small by definition (eval sets are
+    thousands of rows, the corpus is billions), so it broadcasts — the
+    corpus never shuffles; candidate generation is a map-side hash probe
+    per corpus shingle. Set ``broadcast_bench=False`` only if the
+    benchmark's shingles exceed broadcast limits."""
+    if bench_id_col not in bench.columns:
+        bench = bench.withColumnRenamed(id_col, bench_id_col)
+    ds = shingled(docs, id_col, text_col, n)
+    bs = shingled(bench, bench_id_col, text_col, n)
+    if broadcast_bench:
+        bs = F.broadcast(bs)
+    return (
+        ds.join(bs, "shingle")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Per-doc contamination verdict: (id, n_shared_grams,
+    n_bench_examples, contaminated). ``n_shared_grams`` counts the doc's
+    DISTINCT shingles that appear anywhere in the benchmark — the quantity
+    the usual 'drop if >= k colliding grams' policy thresholds on."""
+    if "bench_id" not in bench.columns:
+        bench = bench.withColumnRenamed(id_col, "bench_id")
+    ds = shingled(docs, id_col, text_col, n)
+    bgrams = F.broadcast(
+        shingled(bench, "bench_id", text_col, n).select("shingle").distinct()
+    )
+    hits = (
+        ds.join(bgrams, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    pairs = contamination_pairs(docs, bench, id_col, text_col, "bench_id", n)
+    per_bench = pairs.groupBy(id_col).agg(
+        F.countDistinct("bench_id").alias("n_bench_examples")
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .join(per_bench, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.coalesce("n_bench_examples", F.lit(0)).cast("long").alias("n_bench_examples"),
+            (F.coalesce("n_shared_grams", F.lit(0)) >= min_shared).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def _hex_char_val(ch):
     return F.when(ch.isNotNull(), F.instr(F.lit("0123456789abcdef"), ch) - 1)
 

@@ -1844,6 +1844,62 @@ FROM pg GROUP BY bucket, seq_idx
 SQL_CORPUS_PREP = _sql_corpus_prep()
 
 
+def q_contamination(spark, sf_dir, n: int = 5):
+    """Benchmark-contamination detection (the GPT-3/PaLM decontamination
+    rule): flag training docs sharing any exact word n-gram with an eval
+    set. Fixture split: docs with doc_id % 17 == 0 play the benchmark,
+    the rest are the corpus. The benchmark side broadcasts (eval sets are
+    tiny next to a training corpus), so the corpus never shuffles —
+    candidate generation is a map-side hash probe per corpus shingle
+    (operators.dedup_text.contaminated_docs)."""
+    from .operators.dedup_text import contaminated_docs
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 17 != 0).select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    out = contaminated_docs(corpus, bench, "doc_id", "text", n=n)
+    return out.select(
+        "doc_id",
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+        "n_bench_examples",
+        "contaminated",
+    )
+
+
+def _sql_contamination(n: int = 5):
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(1, n + 1))
+
+    def sh(src, idc):
+        return f"""(SELECT DISTINCT {idc}, shingle FROM (
+  SELECT {idc},
+         unnest(CASE WHEN len(w) >= {n}
+                THEN [{gram} for i in range(len(w) - {n - 1})]
+                ELSE [text] END) AS shingle
+  FROM (SELECT {idc}, string_split(text, ' ') AS w, text FROM {src}) z0) z1)"""
+
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 17 = 0),
+csh AS {sh('corpus', 'doc_id')},
+bsh AS {sh('bench', 'bench_id')},
+bg AS (SELECT DISTINCT shingle FROM bsh),
+hits AS (SELECT doc_id, count(*) AS n_shared_grams
+         FROM csh JOIN bg USING (shingle) GROUP BY doc_id),
+pb AS (SELECT doc_id, count(DISTINCT bench_id) AS n_bench_examples
+       FROM csh JOIN bsh USING (shingle) GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(coalesce(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+       CAST(coalesce(p.n_bench_examples, 0) AS BIGINT) AS n_bench_examples,
+       coalesce(h.n_shared_grams, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM corpus) c
+LEFT JOIN hits h USING (doc_id)
+LEFT JOIN pb p USING (doc_id)
+"""
+
+
+SQL_CONTAMINATION = _sql_contamination()
+
+
 def q_export_shards(spark, sf_dir, num_shards: int = 8):
     """The deterministic pre-shuffled shard layout the training-export sink
     writes (sources.export.shard_plan / export_training_shards — reference
@@ -1988,6 +2044,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "rollup_incremental": q_rollup_incremental,
     "corpus_prep": q_corpus_prep,
+    "contamination": q_contamination,
     "export_shards": q_export_shards,
     "train_val_split": q_train_val_split,
     "stratified_sample": q_stratified_sample,
@@ -2045,6 +2102,7 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "rollup_incremental": SQL_ROLLUP_INCREMENTAL,
     "corpus_prep": SQL_CORPUS_PREP,
+    "contamination": SQL_CONTAMINATION,
     "export_shards": SQL_EXPORT_SHARDS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

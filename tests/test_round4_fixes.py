@@ -324,6 +324,39 @@ def test_export_shards_match_shard_plan(spark, tmp_path):
         assert written == plan[s]
 
 
+def test_contamination_planted_ngrams(spark):
+    """Planted overlap: a corpus doc embedding an eval example's 5-gram is
+    flagged; clean docs are not; counts match hand-derivation."""
+    from bigquery_etl_fork_spark.operators.dedup_text import (
+        contaminated_docs,
+        contamination_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contains bench 5-gram
+            (2, "totally unrelated words here nothing shared at all"),
+            (3, "quick brown fox jumps over and more quick brown fox jumps over"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_bench_examples"], r["contaminated"])
+        for r in contaminated_docs(corpus, bench, n=5).collect()
+    }
+    assert out[1] == (1, 1, True)
+    assert out[2] == (0, 0, False)
+    assert out[3][0] >= 1 and out[3][2]
+    pairs = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in contamination_pairs(corpus, bench, n=5).collect()
+    }
+    assert (1, 100) in pairs and (3, 100) in pairs and (2, 100) not in pairs
+
+
 def test_png_decode_ground_truth_all_filters():
     """Pure-stdlib PNG codec (round 4 — removes the 'compressed codecs
     gated' caveat for PNG): encode known pixels under EVERY scanline filter
