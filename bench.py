@@ -187,6 +187,10 @@ def main() -> None:
     from bigquery_etl_fork_spark.session import get_spark
 
     cdc_only = "--cdc-only" in sys.argv
+    # calibrate BEFORE the SparkSession exists: a live JVM's background
+    # threads inflate the single-proc probe ~1.6-1.9x on an otherwise idle
+    # host (measured), which would read as phantom "host load"
+    cal_before = None if cdc_only else _calibrate()
     dedup_mode = os.environ.get("SPARK_GRAFT_DEDUP_MODE", "jvm")
     # SPARK_GRAFT_MASTER overrides for multi-JVM runs, e.g.
     # local-cluster[8,4,4096] (8 executor JVMs x 4 cores — the in-sandbox
@@ -206,7 +210,6 @@ def main() -> None:
     # warm up JVM/codegen so timings measure the engine, not startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    cal_before = _calibrate()
     n_epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "8"))
     cdc = run_cdc(spark, sf, dedup_mode=dedup_mode, n_epochs=n_epochs)
     if cdc_only:
@@ -239,11 +242,11 @@ def main() -> None:
     # unloaded-host reference times for the calibration probes, pinned from
     # the best windows observed across rounds (BASELINE.md "host
     # calibration" section); load_factor ~1 = clean window, >>1 = loaded —
-    # divide engine slowdowns by it before reading anything into them
+    # divide engine slowdowns by it before reading anything into them.
+    # Load factors use the PRE-JVM probe only; `after_in_jvm` runs beside
+    # the live (idle) JVM whose background threads inflate the single-proc
+    # probe ~1.6-1.9x — it senses mid-run drift, not absolute load.
     ref = {"single_sec": 0.40, "par8_sec": 1.08}
-    worst = {
-        k: max(cal_before[k], cal_after[k]) for k in ("single_sec", "par8_sec")
-    }
     out = {
         "metric": "cdc_events_applied_per_sec",
         "value": cdc["events_per_sec"],
@@ -254,10 +257,10 @@ def main() -> None:
         "host_calibration_sec": cal_before["single_sec"],
         "host_calibration": {
             "before": cal_before,
-            "after": cal_after,
+            "after_in_jvm": cal_after,
             "reference_unloaded": ref,
-            "load_factor_single": round(worst["single_sec"] / ref["single_sec"], 2),
-            "load_factor_par8": round(worst["par8_sec"] / ref["par8_sec"], 2),
+            "load_factor_single": round(cal_before["single_sec"] / ref["single_sec"], 2),
+            "load_factor_par8": round(cal_before["par8_sec"] / ref["par8_sec"], 2),
         },
         "cdc": cdc,
         "cdc_bulk_catchup": bulk,

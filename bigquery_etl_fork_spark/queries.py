@@ -652,6 +652,66 @@ ORDER BY vec_id
 SQL_IVF_ASSIGN = _sql_ivf_assign()
 
 
+def q_ivf_probe(spark, sf_dir, n_cells: int = 16, nprobe: int = 4, k: int = 10):
+    """The IVF ANN SEARCH path, oracle-checked end-to-end: md5-ranked
+    deterministic centroids -> score the query against centroids
+    driver-side -> scan only the nprobe nearest cells -> exact cosine
+    re-rank inside them (operators.similarity.ivf_topk). The oracle
+    re-derives every stage in SQL: centroid ranking, per-vector cell
+    assignment, probe-cell selection, and the pruned re-rank."""
+    from .operators.similarity import ivf_assign, ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned, cents = ivf_assign(
+        e, "vec_id", "embedding", n_cells=n_cells, assign_mode="expr",
+        seed_hash="md5",
+    )
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(
+        assigned, cents, qvec, "vec_id", "embedding", k=k, nprobe=nprobe
+    )
+
+
+def _sql_ivf_probe(n_cells: int = 16, nprobe: int = 4, k: int = 10):
+    hx = (
+        "list_sum([CAST(strpos('0123456789abcdef', "
+        "substring(md5(CAST(vec_id AS VARCHAR)), i, 1)) - 1 AS BIGINT) "
+        "<< (4 * (8 - i)) for i in range(1, 9)])"
+    )
+
+    def cos(a, b):
+        return (
+            f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+            f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+            f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+        )
+
+    return f"""
+WITH ranked AS (
+  SELECT vec_id, embedding, {hx} AS hv FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cell,
+         embedding AS ce
+  FROM ranked ORDER BY hv, vec_id LIMIT {n_cells}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM cent, q
+  ORDER BY {cos('ce', 'qe')} DESC, cell LIMIT {nprobe}),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell, {cos('e.embedding', 'c.ce')} AS sim
+    FROM embeddings e CROSS JOIN cent c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1)
+SELECT e.vec_id, round({cos('e.embedding', 'qe')}, 6) AS cos_sim
+FROM embeddings e JOIN assigned a USING (vec_id), q
+WHERE a.cell IN (SELECT cell FROM probe)
+ORDER BY cos_sim DESC, e.vec_id LIMIT {k}
+"""
+
+
+SQL_IVF_PROBE = _sql_ivf_probe()
+
+
 def q_signlsh_topk_pairs(spark, sf_dir):
     """Embedding near-dup via deterministic sign-LSH (md5-derived ±1 plane
     weights — operators.similarity.deterministic_sign_planes): signature →
@@ -752,6 +812,48 @@ simpairs AS (
 SQL_SIMHASH = (
     "WITH "
     + _SQL_SIMHASH_CTES
+    + "\nSELECT doc_a, doc_b, hamming FROM simpairs"
+)
+
+
+def q_simhash_tokens(spark, sf_dir):
+    """Tokens-native SimHash near-pairs: the same per-element bit-vote
+    kernel (operators.dedup_text.simhash_signatures votes per ARRAY
+    element) over the deterministic md5 word->int32 tokenization used by
+    minhash_tokens — with this row, BOTH near-dup families are
+    oracle-checked end-to-end on the north-star `tokens:array<int32>`
+    payload, not just on text."""
+    from .operators.dedup_text import simhash_near_pairs
+
+    d = load(spark, sf_dir, "documents")
+    tok = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: F.pmod(
+            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+            F.lit(2147483647),
+        ).cast("int"),
+    )
+    docs = d.select("doc_id", tok.alias("tokens"))
+    p = simhash_near_pairs(docs, "doc_id", "tokens", max_hamming=8, band_bits=15)
+    return p.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+_SQL_TOK_EXPR = (
+    "CAST(list_sum([CAST(strpos('0123456789abcdef', "
+    "substring(md5(x), i, 1)) - 1 AS BIGINT) << (4 * (8 - i)) "
+    "for i in range(1, 9)]) % 2147483647 AS INT)"
+)
+
+SQL_SIMHASH_TOKENS = (
+    "WITH "
+    + _SQL_SIMHASH_CTES.replace(
+        """words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),""",
+        f"""words AS (
+  SELECT doc_id, CAST(t AS VARCHAR) AS w FROM (
+    SELECT doc_id, unnest([{_SQL_TOK_EXPR} for x in string_split(text, ' ')]) AS t
+    FROM documents) z),""",
+    )
     + "\nSELECT doc_a, doc_b, hamming FROM simpairs"
 )
 
@@ -2016,8 +2118,10 @@ QUERIES = {
     "minhash_tokens": q_minhash_tokens,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
+    "simhash_tokens": q_simhash_tokens,
     "signlsh_topk_pairs": q_signlsh_topk_pairs,
     "ivf_assign": q_ivf_assign,
+    "ivf_probe": q_ivf_probe,
     "hourly_tumbling": q_hourly_tumbling,
     "lang_quality": q_lang_quality,
     "right_outer": q_right_outer,
@@ -2072,8 +2176,10 @@ ORACLES = {
     "minhash_tokens": SQL_MINHASH_TOKENS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "simhash_pairs": SQL_SIMHASH,
+    "simhash_tokens": SQL_SIMHASH_TOKENS,
     "signlsh_topk_pairs": SQL_SIGNLSH_TOPK,
     "ivf_assign": SQL_IVF_ASSIGN,
+    "ivf_probe": SQL_IVF_PROBE,
     "hourly_tumbling": SQL_HOURLY_TUMBLING,
     "lang_quality": _sql_lang_quality(),
     "right_outer": SQL_RIGHT_OUTER,
