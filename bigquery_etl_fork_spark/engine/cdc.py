@@ -118,6 +118,7 @@ class CDCEngine:
         multiplicity_threshold: float = 4.0,
         post_commit_checks: list | None = None,
         commit_retries: int = 6,
+        emit_changelog: bool = True,
     ):
         if storage_mode not in ("mor", "cow"):
             raise ValueError(f"unknown storage_mode {storage_mode!r}")
@@ -141,6 +142,11 @@ class CDCEngine:
         # retries sleep with jittered exponential backoff (watermark check
         # makes retries exactly-once-safe at any count)
         self.commit_retries = commit_retries
+        # CoW only (MoR deltas ARE the feed): attach the epoch's resolved
+        # changes as changelog sidecar files so changes() stays derivable
+        # over merge commits. Costs one O(delta) write the merge then reads
+        # back as its input — the dedup subtree is not recomputed.
+        self.emit_changelog = emit_changelog
         # CoW only: max distinct delta keys to broadcast into the survivors
         # anti join. Above this, a forced broadcast would hit Spark's hard
         # 8 GiB / 512M-row broadcast limits (or OOM the driver), so the
@@ -625,11 +631,46 @@ class CDCEngine:
         ]
         current = self.table.read(affected, key_col=self.key)
         state_cols = [f.name for f in target.fields]
-        # coerce payload to target types (null-fill/widen), carrying op
-        target_plus_op = T.StructType(
-            list(target.fields) + [T.StructField(self.op_col, T.StringType())]
-        )
-        aligned = compat_select(deduped, target_plus_op)
+        staged_changelog = None
+        if self.emit_changelog:
+            # Stage the LWW-resolved epoch delta as changelog sidecar files
+            # FIRST, then feed the merge by reading those files back: the
+            # (expensive) dedup subtree runs once, the merge's delta input
+            # is an O(delta) parquet scan, and the same commit that rewrites
+            # the buckets publishes the row-level changes — which is what
+            # keeps a copy-on-write table change-feed-derivable
+            # (commit_op='merge'; LakeTable.changes walks changelog files).
+            target_plus = T.StructType(
+                list(target.fields)
+                + [
+                    T.StructField(self.order, T.LongType()),
+                    T.StructField(self.op_col, T.StringType()),
+                ]
+            )
+            staged_changelog = self.table.stage_delta(
+                compat_select(deduped, target_plus),
+                self.key,
+                op_col=self.op_col,
+                order_col=self.order,
+            )
+            from ..lake.table import TOMB_COL
+
+            readback = self.spark.read.parquet(staged_changelog["dir"])
+            aligned = (
+                readback.withColumn(
+                    self.op_col,
+                    F.when(F.col(TOMB_COL) == "d", F.lit(OP_DELETE)).otherwise(
+                        F.lit("U")
+                    ),
+                )
+                .drop(TOMB_COL, BUCKET_COL, self.order)
+            )
+        else:
+            # coerce payload to target types (null-fill/widen), carrying op
+            target_plus_op = T.StructType(
+                list(target.fields) + [T.StructField(self.op_col, T.StringType())]
+            )
+            aligned = compat_select(deduped, target_plus_op)
         # survivors anti-join keys come from a column-pruned distinct
         # over the epoch slice (same key set as the dedup output) so the
         # payload-dedup subtree is computed exactly once per epoch.
@@ -665,6 +706,8 @@ class CDCEngine:
             properties_update=props,
             lineage=lineage_rows,
             pre_clustered=not compact,
+            commit_op="merge" if staged_changelog is not None else "overwrite",
+            changelog=staged_changelog,
         )
         return EpochStats(
             epoch, events_in, rows_upserted, rows_deleted, len(affected),

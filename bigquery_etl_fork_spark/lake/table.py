@@ -437,6 +437,7 @@ class LakeTable:
         new_kind: str = "base",
         aux_schema: T.StructType | None = None,
         commit_op: str = "overwrite",
+        changelog: dict[str, Any] | None = None,
     ) -> Snapshot:
         prev = self._snapshot
         schemas = dict(prev.schemas)
@@ -465,6 +466,21 @@ class LakeTable:
             buckets[b] = buckets[b] + [
                 {**f, "schema_id": entry_sid, "kind": new_kind} for f in files
             ]
+        if changelog is not None:
+            # changelog sidecar files carry the delta's physical schema
+            # (payload + lsn; op as the _t partition flag), registered the
+            # same way MoR delta aux schemas are (deduped by exact JSON)
+            cl_json = changelog["aux_schema"].json()
+            cl_sid = next((k for k, v in schemas.items() if v == cl_json), None)
+            if cl_sid is None:
+                cl_sid = str(max(int(k) for k in schemas) + 1)
+                schemas[cl_sid] = cl_json
+            for b, files in changelog["stats"].items():
+                buckets.setdefault(b, [])
+                buckets[b] = buckets[b] + [
+                    {**f, "schema_id": int(cl_sid), "kind": "changelog"}
+                    for f in files
+                ]
         props = dict(prev.properties)
         props.update(properties_update or {})
         snap = Snapshot(
@@ -511,15 +527,29 @@ class LakeTable:
         lineage: list[dict[str, Any]] | None = None,
         pre_clustered: bool = False,
         commit_op: str = "overwrite",
+        changelog: dict[str, Any] | None = None,
     ) -> Snapshot:
         """Atomically replace the given buckets with df's rows (which must all
-        belong to those buckets). The engine's MERGE commit primitive."""
+        belong to those buckets). The engine's MERGE commit primitive.
+
+        ``changelog`` (a ``stage_delta`` result) attaches the row-level
+        changes this rewrite applied as 'changelog'-kind sidecar files in
+        the SAME commit: invisible to ``read()`` (state comes from the base
+        files), but walked by ``changes()`` — which is what makes a
+        copy-on-write merge commit change-feed-derivable (commit it as
+        ``commit_op='merge'``)."""
         if schema is not None and schema != self.schema:
             df = compat_select(df, schema) if df.schema != schema else df
         _, stats = self._write_data(df, key_col, pre_clustered=pre_clustered)
         stray = set(stats.keys()) - {str(b) for b in buckets}
         if stray:
             raise ValueError(f"rows written outside declared buckets: {sorted(stray)}")
+        if changelog is not None:
+            stray_cl = set(changelog["stats"].keys()) - {str(b) for b in buckets}
+            if stray_cl:
+                raise ValueError(
+                    f"changelog rows outside replaced buckets: {sorted(stray_cl)}"
+                )
         for row in lineage or []:  # enrich lineage with actual write stats
             files = stats.get(str(row.get("partition_id")), [])
             row["bytes_written"] = sum(f["bytes"] for f in files)
@@ -531,6 +561,7 @@ class LakeTable:
             properties_update=properties_update,
             lineage=lineage,
             commit_op=commit_op,
+            changelog=changelog,
         )
 
     def stage_delta(
@@ -733,13 +764,15 @@ class LakeTable:
         added: list[dict[str, Any]] = []
         for v in range(from_version + 1, to_version + 1):
             snap_v = new_snap if v == to_version else self.snapshot_at(v)
-            # allowlist of row-preserving ops: 'delta' adds the log rows the
-            # feed is built from; 'compact' rewrites files without changing
-            # any row; 'schema' changes no rows. Anything else ('overwrite',
-            # 'promote', 'rollup', future ops) replaced bucket state with
-            # base files outside the delta log, so the feed cannot be
-            # derived — raise rather than emit a silently incomplete feed.
-            if snap_v.commit_op not in ("delta", "compact", "schema"):
+            # allowlist of feed-safe ops: 'delta' adds the log rows the
+            # feed is built from; 'merge' is a copy-on-write rewrite that
+            # attached its row-level changes as changelog sidecar files;
+            # 'compact' rewrites files without changing any row; 'schema'
+            # changes no rows. Anything else ('overwrite', 'promote',
+            # 'rollup', future ops) replaced bucket state with base files
+            # outside the delta log, so the feed cannot be derived — raise
+            # rather than emit a silently incomplete feed.
+            if snap_v.commit_op not in ("delta", "merge", "compact", "schema"):
                 raise ValueError(
                     f"change feed over ({from_version}, {to_version}] is not "
                     f"derivable: version {v} is a '{snap_v.commit_op}' commit "
@@ -749,7 +782,10 @@ class LakeTable:
             for files in snap_v.buckets.values():
                 for f in files:
                     cur_paths.add(f["path"])
-                    if f.get("kind", "base") == "delta" and f["path"] not in prev_paths:
+                    if (
+                        f.get("kind", "base") in ("delta", "changelog")
+                        and f["path"] not in prev_paths
+                    ):
                         added.append(f)
             prev_paths = cur_paths
         target = T.StructType.fromJson(json.loads(new_snap.schemas[str(new_snap.schema_id)]))

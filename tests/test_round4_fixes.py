@@ -324,6 +324,91 @@ def test_export_shards_match_shard_plan(spark, tmp_path):
         assert written == plan[s]
 
 
+def test_cow_merge_commits_are_change_feed_derivable(spark, tmp_path):
+    """Round-4 feature: a copy-on-write merge commit attaches its resolved
+    epoch delta as changelog sidecar files, so changes() derives the same
+    feed a merge-on-read table yields — and an IncrementalRollup over a
+    CoW source stays on the incremental path. Changelog files must be
+    invisible to read()."""
+    rows = [(f"d{i}", f"g{i % 3}", i) for i in range(40)]
+    schema = "doc_id string, grp string, val long"
+
+    def build(mode):
+        df = spark.createDataFrame(rows, schema)
+        t = LakeTable.create(
+            spark, str(tmp_path / mode), df.schema, num_buckets=4,
+            properties={"key_col": "doc_id"},
+        )
+        t.overwrite_all(df, key_col="doc_id")
+        eng = CDCEngine(spark, t, key="doc_id", order="lsn",
+                        storage_mode=mode, count_input=False)
+        v0 = t.snapshot.version
+        for e, delta in enumerate([
+            [("d1", "g1", 100, 101, "U"), ("dx", "g9", 5, 102, "I"),
+             ("d2", None, None, 103, "D")],
+            [("d1", "g2", 200, 201, "U"), ("dx", None, None, 202, "D")],
+        ], start=1):
+            eng.apply_epoch(e, spark.createDataFrame(
+                delta, "doc_id string, grp string, val long, lsn long, op string"))
+        return t, v0
+
+    tc, v0c = build("cow")
+    tm, v0m = build("mor")
+
+    def feed(t, v0):
+        return {
+            (r["doc_id"], r["op"], r["grp"], r["val"], r["lsn"])
+            for r in t.changes(v0, key_col="doc_id").collect()
+        }
+
+    assert feed(tc, v0c) == feed(tm, v0m)  # CoW feed == MoR feed
+    # changelog files are invisible to state reads
+    state = {r["doc_id"]: (r["grp"], r["val"])
+             for r in tc.read(key_col="doc_id").collect()}
+    assert "d2" not in state and "dx" not in state and state["d1"] == ("g2", 200)
+    # snapshot actually carries changelog-kind entries for the merge commits
+    kinds = {f.get("kind", "base")
+             for files in tc.snapshot.buckets.values() for f in files}
+    assert "changelog" in kinds
+    assert tc.snapshot.commit_op == "merge"
+
+    # rollup over the CoW source: bootstrap full (overwrite commit), then
+    # INCREMENTAL across the merge commits
+    mv = IncrementalRollup(
+        spark, tc, str(tmp_path / "mv_cow"), group_cols=["grp"],
+        measures={"n": ("count", None), "total": ("sum", "val")},
+    )
+    assert mv.refresh()["mode"] == "full"
+    eng = CDCEngine(spark, tc, key="doc_id", order="lsn",
+                    storage_mode="cow", count_input=False)
+    eng.apply_epoch(3, spark.createDataFrame(
+        [("d5", "g0", 999, 301, "U")],
+        "doc_id string, grp string, val long, lsn long, op string"))
+    res = mv.refresh()
+    assert res["mode"] == "incremental"
+    got = {r["grp"]: (r["n"], r["total"]) for r in mv.read().collect()}
+    exp = {r["grp"]: (r["n"], r["total"])
+           for r in tc.read(key_col="doc_id").groupBy("grp")
+           .agg(F.count("*").alias("n"), F.sum("val").alias("total")).collect()}
+    assert got == exp
+
+    # emit_changelog=False keeps the old non-derivable behavior
+    df = spark.createDataFrame(rows, schema)
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "cow_off"), df.schema, num_buckets=4,
+        properties={"key_col": "doc_id"},
+    )
+    t2.overwrite_all(df, key_col="doc_id")
+    v02 = t2.snapshot.version
+    CDCEngine(spark, t2, key="doc_id", order="lsn", storage_mode="cow",
+              count_input=False, emit_changelog=False).apply_epoch(
+        1, spark.createDataFrame(
+            [("d1", "g1", 100, 101, "U")],
+            "doc_id string, grp string, val long, lsn long, op string"))
+    with pytest.raises(ValueError, match="not\\s+derivable"):
+        t2.changes(v02, key_col="doc_id")
+
+
 def test_contamination_planted_ngrams(spark):
     """Planted overlap: a corpus doc embedding an eval example's 5-gram is
     flagged; clean docs are not; counts match hand-derivation."""
