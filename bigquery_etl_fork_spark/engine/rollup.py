@@ -41,21 +41,43 @@ def _group_bucket(group_cols: list[str], num_buckets: int) -> Column:
 
 
 class IncrementalRollup:
-    """An additive GROUP BY rollup over a source LakeTable, stored as its
-    own LakeTable and refreshed incrementally from ``source.changes()``.
+    """A GROUP BY rollup over a source LakeTable, stored as its own
+    LakeTable and refreshed incrementally from ``source.changes()``.
 
-    ``measures`` maps output column -> ("count", None) | ("sum", input_col).
+    ``measures`` maps output column ->
+    ("count", None) | ("sum", col) | ("avg", col) | ("min", col) |
+    ("max", col).
+
+    Maintenance strategy per measure class:
+
+    - **additive** (count/sum, and avg as a derived sum/count pair):
+      retract each changed key's old contribution, add its new one, fold
+      the per-group net delta — O(changed keys) per refresh.
+    - **extrema** (min/max) are distributive but NOT retractable (deleting
+      the current max invalidates the stored value). The scale-correct
+      answer is bucket-partial re-aggregation: a sidecar partials table
+      keeps per-(group, source-bucket) min/max; a refresh recomputes ONLY
+      the (touched group x changed source bucket) cells from the changed
+      buckets' current state, then re-folds each touched group's final
+      from its (few) partial cells — O(changed buckets + touched groups x
+      source buckets), never O(table). The partials table is re-derived
+      idempotently for the refresh range, so it needs no cross-table
+      atomic commit with the main rollup: a crash between the two writes
+      is healed by the next refresh redoing the same closed range.
+
     A hidden ``n_rows`` count is always maintained so groups whose last
     contributing row is deleted disappear from the rollup (exactly like the
     GROUP BY it shadows). Sums over integer columns are exact; sums over
     floating columns accumulate retraction round-off — store money/metrics
     as integers or decimals, same rule the oracle-compare layer follows.
 
-    One deliberate divergence from flat GROUP BY: a group whose measure
-    values are ALL null stores sum 0, not NULL (additive maintenance folds
-    deltas into the identity; distinguishing "no non-null inputs" would
-    need a per-measure non-null count). Rows with null measures still
-    count toward n_rows/count measures. Pinned by test.
+    One deliberate divergence from flat GROUP BY: an additive group whose
+    measure values are ALL null stores sum 0, not NULL (additive
+    maintenance folds deltas into the identity). ``avg`` does NOT inherit
+    this: its non-null count is maintained, so all-null groups yield NULL
+    exactly like AVG(). min/max are recomputed, so they also match flat
+    GROUP BY exactly. Rows with null measures still count toward
+    n_rows/count measures. Pinned by test.
     """
 
     def __init__(
@@ -71,8 +93,17 @@ class IncrementalRollup:
         self.source = source
         self.group_cols = list(group_cols)
         self.measures = dict(measures)
-        for name, (kind, _col) in self.measures.items():
-            if kind not in ("count", "sum"):
+        self.additive: dict[str, tuple[str, str | None]] = {}
+        self.avgs: dict[str, str] = {}
+        self.extrema: dict[str, tuple[str, str]] = {}
+        for name, (kind, col) in self.measures.items():
+            if kind in ("count", "sum"):
+                self.additive[name] = (kind, col)
+            elif kind == "avg":
+                self.avgs[name] = col
+            elif kind in ("min", "max"):
+                self.extrema[name] = (kind, col)
+            else:
                 raise ValueError(f"measure {name}: unsupported kind {kind!r}")
         self.key_col = key_col or source.snapshot.properties.get("key_col")
         if self.key_col is None:
@@ -97,39 +128,96 @@ class IncrementalRollup:
                 num_buckets=min(source.num_buckets, 32),
                 properties={_VERSION_PROP: 0, "key_col": self.group_cols[0]},
             )
+        self.partials: LakeTable | None = None
+        if self.extrema:
+            proot = target_root.rstrip("/") + "_partials"
+            pexp = self._expected_partials_schema()
+            if LakeTable.exists(proot):
+                self.partials = LakeTable(spark, proot)
+                got = [(f.name, f.dataType) for f in self.partials.schema.fields]
+                want = [(f.name, f.dataType) for f in pexp.fields]
+                if got != want:
+                    raise ValueError(
+                        f"existing partials table at {proot} does not match "
+                        f"the requested extrema measures: {got} != {want}"
+                    )
+            else:
+                self.partials = LakeTable.create(
+                    spark,
+                    proot,
+                    pexp,
+                    num_buckets=self.target.num_buckets,
+                    properties={"key_col": self.group_cols[0]},
+                )
+
+    def _measure_store_type(self, col: str) -> T.DataType:
+        # Spark's sum() widens: integral -> long, float -> double,
+        # decimal(p,s) -> decimal(p+10,s); mirror it so the stored
+        # schema matches what the aggregation produces
+        dt = {f.name: f for f in self.source.schema.fields}[col].dataType
+        if isinstance(dt, T.DecimalType):
+            return T.DecimalType(min(38, dt.precision + 10), dt.scale)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return T.DoubleType()
+        return T.LongType()
 
     def _expected_schema(self) -> T.StructType:
         src_fields = {f.name: f for f in self.source.schema.fields}
         fields = [src_fields[g] for g in self.group_cols]
         fields.append(T.StructField(_NROWS, T.LongType()))
-        for name, (kind, col) in self.measures.items():
+        for name, (kind, col) in self.additive.items():
             if kind == "count":
                 fields.append(T.StructField(name, T.LongType()))
             else:
-                # Spark's sum() widens: integral -> long, float -> double,
-                # decimal(p,s) -> decimal(p+10,s); mirror it so the stored
-                # schema matches what the aggregation produces
-                dt = src_fields[col].dataType
-                if isinstance(dt, T.DecimalType):
-                    out = T.DecimalType(min(38, dt.precision + 10), dt.scale)
-                elif isinstance(dt, (T.FloatType, T.DoubleType)):
-                    out = T.DoubleType()
-                else:
-                    out = T.LongType()
-                fields.append(T.StructField(name, out))
+                fields.append(T.StructField(name, self._measure_store_type(col)))
+        for name, col in self.avgs.items():
+            fields.append(T.StructField(f"_{name}_sum", self._measure_store_type(col)))
+            fields.append(T.StructField(f"_{name}_cnt", T.LongType()))
+        for name, (_kind, col) in self.extrema.items():
+            fields.append(T.StructField(name, src_fields[col].dataType))
+        return T.StructType(fields)
+
+    def _expected_partials_schema(self) -> T.StructType:
+        src_fields = {f.name: f for f in self.source.schema.fields}
+        fields = [src_fields[g] for g in self.group_cols]
+        fields.append(T.StructField("src_bucket", T.IntegerType()))
+        fields.append(T.StructField(_NROWS, T.LongType()))
+        for name, (_kind, col) in self.extrema.items():
+            fields.append(T.StructField(name, src_fields[col].dataType))
         return T.StructType(fields)
 
     # ---------------- aggregation pieces ----------------
 
+    @property
+    def _additive_cols(self) -> list[str]:
+        return [
+            _NROWS,
+            *self.additive.keys(),
+            *[c for name in self.avgs for c in (f"_{name}_sum", f"_{name}_cnt")],
+        ]
+
     def _agg_exprs(self, sign: int) -> list[Column]:
         s = F.lit(sign).cast("long")
         exprs = [F.sum(s).alias(_NROWS)]
-        for name, (kind, col) in self.measures.items():
+        for name, (kind, col) in self.additive.items():
             if kind == "count":
                 exprs.append(F.sum(s).alias(name))
             else:
                 exprs.append(F.sum(F.col(col) * s).alias(name))
+        for name, col in self.avgs.items():
+            exprs.append(F.sum(F.col(col) * s).alias(f"_{name}_sum"))
+            exprs.append(
+                F.sum(
+                    F.when(F.col(col).isNotNull(), s).otherwise(F.lit(0).cast("long"))
+                ).alias(f"_{name}_cnt")
+            )
         return exprs
+
+    def _extrema_exprs(self) -> list[Column]:
+        return [
+            (F.min(F.col(col)) if kind == "min" else F.max(F.col(col))).alias(name)
+            for name, (kind, col) in self.extrema.items()
+        ]
 
     @property
     def last_source_version(self) -> int:
@@ -216,28 +304,157 @@ class IncrementalRollup:
         old = self.source.read(
             buckets=src_buckets, key_col=key, at_version=from_v
         ).join(changed_keys, key, "semi")
+        adds_src = ch.where(F.col("op") != "D")
         retract = old.groupBy(*self.group_cols).agg(*self._agg_exprs(-1))
-        add = (
-            ch.where(F.col("op") != "D")
-            .groupBy(*self.group_cols)
-            .agg(*self._agg_exprs(+1))
-        )
-        val_cols = [_NROWS, *self.measures.keys()]
+        add = adds_src.groupBy(*self.group_cols).agg(*self._agg_exprs(+1))
+        val_cols = self._additive_cols
         net = (
             retract.unionByName(add)
             .groupBy(*self.group_cols)
             .agg(*[F.sum(c).alias(c) for c in val_cols])
             .where(" or ".join(f"{c} != 0" for c in val_cols))
         )
-        res = self._apply_delta(net, to_v, mode="incremental")
+        minmax = None
+        if self.extrema:
+            # touched groups = every group that gained or lost a row in the
+            # range (old groups of changed keys + groups of the new rows);
+            # a value-only update can change a min/max with ZERO additive
+            # net, so extrema maintenance keys off this set, not off `net`
+            touched = (
+                old.select(*self.group_cols)
+                .unionByName(adds_src.select(*self.group_cols))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if touched.head(1):  # empty feed range: no partials work
+                minmax = self._refresh_partials(touched, src_buckets, to_v)
+        res = self._apply_delta(net, to_v, mode="incremental", minmax=minmax)
         # pruning observability: how much of the source the retract side
         # actually touched (the O(changed buckets) claim, reportable)
         res["src_buckets_scanned"] = len(src_buckets)
         res["src_buckets_total"] = self.source.num_buckets
         return res
 
-    def _apply_delta(self, net: DataFrame, to_v: int, mode: str) -> dict[str, Any]:
+    def _nullsafe_cond(self, a, b) -> list[Column]:
+        return [a[g].eqNullSafe(b[g]) for g in self.group_cols]
+
+    def _refresh_partials(
+        self, touched: DataFrame, src_buckets: list[int], to_v: int
+    ) -> DataFrame:
+        """Re-derive the (touched group x changed source bucket) partial
+        min/max cells from the changed buckets' state at ``to_v``, fold
+        them into the partials table, and return the touched groups' new
+        FINAL extrema (group_cols + one column per min/max measure + a
+        ``_touched`` marker). Idempotent for a closed refresh range, so it
+        safely commits before the main rollup write."""
+        key = self.key_col
+        cur = self.source.read(
+            buckets=src_buckets, key_col=key, at_version=to_v
+        ).alias("s")
+        t = touched.alias("t")
+        scoped = cur.join(t, self._nullsafe_cond(cur, t), "semi")
+        cells_new = (
+            scoped.groupBy(
+                *self.group_cols,
+                F.pmod(F.xxhash64(key), F.lit(self.source.num_buckets))
+                .cast("int")
+                .alias("src_bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias(_NROWS), *self._extrema_exprs())
+        )
+        pt = self.partials
+        pb_list = sorted(
+            r["b"]
+            for r in touched.select(
+                _group_bucket(self.group_cols, pt.num_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        existing = pt.read(buckets=pb_list).alias("e")
+        marked = existing.join(
+            t.withColumn("_t", F.lit(True)),
+            self._nullsafe_cond(existing, t),
+            "left",
+        ).select("e.*", "_t")
+        # drop stale cells: touched group AND recomputed (changed) bucket
+        keep = marked.where(
+            ~(
+                F.coalesce(F.col("_t"), F.lit(False))
+                & F.col("src_bucket").isin([int(b) for b in src_buckets])
+            )
+        ).drop("_t")
+        new_rows = keep.unionByName(
+            cells_new.where(F.col(_NROWS) > 0)
+        ).localCheckpoint(eager=True)  # feeds the write AND the finals agg
+        pt.overwrite_buckets(
+            pb_list,
+            new_rows.withColumn(
+                BUCKET_COL, _group_bucket(self.group_cols, pt.num_buckets)
+            ),
+            key_col=self.group_cols[0],
+            commit_op="rollup",
+        )
+        nr = new_rows.alias("n")
+        finals = (
+            nr.join(t, self._nullsafe_cond(nr, t), "semi")
+            .groupBy(*self.group_cols)
+            .agg(*self._extrema_exprs_over_partials())
+        )
+        # every touched group appears, even ones that died (no partial rows
+        # left): right-join back to `touched` so _apply_delta can tell
+        # "touched, now empty" from "untouched". `finals` embeds touched's
+        # lineage (the semi join above), so the second join needs renamed
+        # columns to stay unambiguous.
+        t2 = touched.select(
+            *[F.col(g).alias(f"_tg{i}") for i, g in enumerate(self.group_cols)]
+        )
+        f = finals.alias("f")
+        cond = [
+            f[g].eqNullSafe(t2[f"_tg{i}"])
+            for i, g in enumerate(self.group_cols)
+        ]
+        return (
+            f.join(t2, cond, "right")
+            .select(
+                *[
+                    F.coalesce(f[g], t2[f"_tg{i}"]).alias(g)
+                    for i, g in enumerate(self.group_cols)
+                ],
+                *[f[name].alias(name) for name in self.extrema],
+                F.lit(True).alias("_touched"),
+            )
+        )
+
+    def _extrema_exprs_over_partials(self) -> list[Column]:
+        # fold partial cells into finals: min of partial mins / max of maxes
+        return [
+            (F.min(F.col(name)) if kind == "min" else F.max(F.col(name))).alias(name)
+            for name, (kind, _col) in self.extrema.items()
+        ]
+
+    def _apply_delta(
+        self,
+        net: DataFrame,
+        to_v: int,
+        mode: str,
+        minmax: DataFrame | None = None,
+    ) -> dict[str, Any]:
         nb = self.target.num_buckets
+        if minmax is not None:
+            # widen the delta to every touched group: a value-only update
+            # can change an extremum with zero additive net, so those
+            # groups must reach the merge with null additive deltas
+            n, m = net.alias("n"), minmax.alias("m")
+            net = (
+                n.join(m, self._nullsafe_cond(n, m), "full_outer")
+                .select(
+                    *[F.coalesce(n[g], m[g]).alias(g) for g in self.group_cols],
+                    *[n[v].alias(v) for v in self._additive_cols],
+                    *[m[name].alias(name) for name in self.extrema],
+                    F.coalesce(m["_touched"], F.lit(False)).alias("_touched"),
+                )
+            )
         net = net.withColumn(BUCKET_COL, _group_bucket(self.group_cols, nb))
         net = net.localCheckpoint(eager=True)  # net is re-used for bucket list + merge
         buckets = sorted(r[BUCKET_COL] for r in net.select(BUCKET_COL).distinct().collect())
@@ -252,9 +469,20 @@ class IncrementalRollup:
         cur = self.target.read(buckets=buckets).withColumn(
             BUCKET_COL, _group_bucket(self.group_cols, nb)
         )
-        val_cols = [_NROWS, *self.measures.keys()]
+        val_cols = self._additive_cols
         c, d = cur.alias("c"), net.alias("d")
         cond = [c[g].eqNullSafe(d[g]) for g in self.group_cols]
+        extrema_out = []
+        for name in self.extrema:
+            if minmax is not None:
+                # recomputed finals REPLACE the stored value for touched
+                # groups (even when the new final is null); untouched
+                # groups keep theirs
+                extrema_out.append(
+                    F.when(d["_touched"], d[name]).otherwise(c[name]).alias(name)
+                )
+            else:
+                extrema_out.append(c[name].alias(name))
         merged = (
             c.join(d, cond, "full_outer")
             .select(
@@ -265,6 +493,7 @@ class IncrementalRollup:
                     ).alias(v)
                     for v in val_cols
                 ],
+                *extrema_out,
                 F.coalesce(c[BUCKET_COL], d[BUCKET_COL]).alias(BUCKET_COL),
             )
             .where(F.col(_NROWS) > 0)
@@ -288,7 +517,27 @@ class IncrementalRollup:
         if self.source.snapshot.properties.get("require_partition_filter"):
             bks = list(range(self.source.num_buckets))  # deliberate full scan
         state = self.source.read(buckets=bks, key_col=self.key_col, at_version=to_v)
-        full = state.groupBy(*self.group_cols).agg(*self._agg_exprs(+1))
+        if self.extrema:
+            # rebuild the partials sidecar FIRST (idempotent, so no atomic
+            # cross-table commit is needed — see class docstring)
+            pt = self.partials
+            cells = state.groupBy(
+                *self.group_cols,
+                F.pmod(F.xxhash64(self.key_col), F.lit(self.source.num_buckets))
+                .cast("int")
+                .alias("src_bucket"),
+            ).agg(F.count(F.lit(1)).alias(_NROWS), *self._extrema_exprs())
+            pt.overwrite_buckets(
+                list(range(pt.num_buckets)),
+                cells.withColumn(
+                    BUCKET_COL, _group_bucket(self.group_cols, pt.num_buckets)
+                ),
+                key_col=self.group_cols[0],
+                commit_op="rollup",
+            )
+        full = state.groupBy(*self.group_cols).agg(
+            *self._agg_exprs(+1), *self._extrema_exprs()
+        )
         # bucket with the SAME function _apply_delta uses (_group_bucket over
         # ALL group cols) and write via overwrite_buckets so the precomputed
         # column is kept as-is; overwrite_all would re-derive the bucket from
@@ -309,5 +558,18 @@ class IncrementalRollup:
     # ---------------- reads ----------------
 
     def read(self) -> DataFrame:
-        """The rollup as a user-facing relation (hidden bookkeeping dropped)."""
-        return self.target.read().select(*self.group_cols, *self.measures.keys())
+        """The rollup as a user-facing relation (hidden bookkeeping dropped;
+        avg derived from its maintained sum/non-null-count pair, NULL when
+        every input was null — exactly AVG() semantics)."""
+        cols: list[Column] = []
+        for name, (kind, _col) in self.measures.items():
+            if kind == "avg":
+                cnt = F.col(f"_{name}_cnt")
+                cols.append(
+                    F.when(
+                        cnt > 0, F.col(f"_{name}_sum") / cnt
+                    ).alias(name)
+                )
+            else:
+                cols.append(F.col(name))
+        return self.target.read().select(*self.group_cols, *cols)

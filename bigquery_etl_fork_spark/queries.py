@@ -1462,6 +1462,66 @@ FROM fin GROUP BY source
 )
 
 
+def q_rollup_minmax(spark, sf_dir):
+    """Round-4 extension of the maintained-view row: MIN/MAX measures —
+    NOT retractable (deleting the current max invalidates the stored
+    value) — maintained via bucket-partial re-aggregation (a sidecar
+    per-(group, source-bucket) extrema table; refreshes recompute only
+    touched-group x changed-bucket cells), plus AVG as a derived
+    sum/non-null-count pair. Replays the CDC epochs refreshing after each;
+    the oracle is a flat GROUP BY over the final state, so a single wrong
+    retraction anywhere across the refreshes fails the hash."""
+    from .engine import CDCEngine, IncrementalRollup
+    from .lake import LakeTable
+
+    base, chg = _cdc_inputs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="rollup_mm_")
+    table = LakeTable.create(
+        spark, root + "/t", base.schema, num_buckets=16,
+        properties={"key_col": "doc_id"},
+    )
+    table.overwrite_all(base, key_col="doc_id")
+    mv = IncrementalRollup(
+        spark, table, root + "/mv", group_cols=["source"],
+        measures={
+            "n_docs": ("count", None),
+            "max_tok": ("max", "n_tok"),
+            "min_tok": ("min", "n_tok"),
+            "avg_tok": ("avg", "n_tok"),
+        },
+    )
+    mv.refresh()
+    eng = CDCEngine(spark, table, count_input=False)
+    epochs = sorted(r["epoch"] for r in chg.select("epoch").distinct().collect())
+    for e in epochs:
+        eng.apply_epoch(int(e), chg.where(F.col("epoch") == int(e)).drop("epoch"))
+        mv.refresh()
+    return mv.read().select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("max_tok").cast("long").alias("max_tok"),
+        F.col("min_tok").cast("long").alias("min_tok"),
+        # exact-integer sum/count -> one IEEE double division, identical in
+        # any engine (no rounding, which IS cross-engine-unstable)
+        F.col("avg_tok").alias("avg_tok"),
+    )
+
+
+SQL_ROLLUP_MINMAX = (
+    "WITH "
+    + _SQL_CDC_CTES
+    + """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(len(tokens)) AS BIGINT) AS max_tok,
+       CAST(min(len(tokens)) AS BIGINT) AS min_tok,
+       CAST(sum(len(tokens)) AS DOUBLE) / CAST(count(len(tokens)) AS DOUBLE)
+         AS avg_tok
+FROM fin GROUP BY source
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2147,6 +2207,7 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "pack_sequences": q_pack_sequences,
     "rollup_incremental": q_rollup_incremental,
+    "rollup_minmax": q_rollup_minmax,
     "corpus_prep": q_corpus_prep,
     "contamination": q_contamination,
     "export_shards": q_export_shards,
@@ -2207,6 +2268,7 @@ ORACLES = {
     "dup_clusters": SQL_DUP_CLUSTERS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "rollup_incremental": SQL_ROLLUP_INCREMENTAL,
+    "rollup_minmax": SQL_ROLLUP_MINMAX,
     "corpus_prep": SQL_CORPUS_PREP,
     "contamination": SQL_CONTAMINATION,
     "export_shards": SQL_EXPORT_SHARDS,

@@ -324,6 +324,109 @@ def test_export_shards_match_shard_plan(spark, tmp_path):
         assert written == plan[s]
 
 
+def _expected_full(src, measures_sql):
+    rows = (
+        src.read(key_col="doc_id")
+        .groupBy("grp")
+        .agg(*measures_sql)
+        .collect()
+    )
+    return {r["grp"]: tuple(r[i] for i in range(1, len(r))) for r in rows}
+
+
+def test_rollup_minmax_avg_measures(spark, tmp_path):
+    """Round-4 feature: min/max maintained via bucket-partial
+    re-aggregation (delete-the-max works — the non-retractable case), avg
+    via a derived sum/non-null-count pair (NULL when every input is null).
+    After every epoch the rollup equals a fresh GROUP BY."""
+    rows = [(f"d{i}", f"g{i % 3}", i * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string, val long")
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), df.schema, num_buckets=8,
+        properties={"key_col": "doc_id"},
+    )
+    src.overwrite_all(df, key_col="doc_id")
+    mv = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["grp"],
+        measures={
+            "n": ("count", None),
+            "mx": ("max", "val"),
+            "mn": ("min", "val"),
+            "av": ("avg", "val"),
+        },
+    )
+    assert mv.refresh()["mode"] == "full"
+
+    def check():
+        got = {
+            r["grp"]: (r["n"], r["mx"], r["mn"], r["av"])
+            for r in mv.read().collect()
+        }
+        exp = _expected_full(
+            src,
+            [
+                F.count("*").alias("n"),
+                F.max("val").alias("mx"),
+                F.min("val").alias("mn"),
+                F.avg("val").alias("av"),
+            ],
+        )
+        assert got == exp, (got, exp)
+
+    check()
+
+    epochs = [
+        # delete the global max of g2 (d29, val 290) — retraction case
+        [("d29", None, None, 101, "D")],
+        # value-only update that LOWERS g1's max with ZERO additive net
+        [("d28", "g1", 5, 201, "U")],
+        # group move: d27 (g0's max) moves to g1; insert new g0 max
+        [("d27", "g1", 270, 301, "U"), ("dz", "g0", 999, 302, "I")],
+        # null values: avg must ignore, count must not
+        [("dn1", "g2", None, 401, "I"), ("dn2", "g2", None, 402, "I")],
+        # empty a group entirely
+        [(f"d{i}", None, None, 500 + i, "D") for i in range(1, 30, 3)]
+        + [("d28", None, None, 540, "D")] + [("d27", None, None, 541, "D")],
+    ]
+    eng = CDCEngine(spark, src, key="doc_id", order="lsn", count_input=False)
+    for e, delta in enumerate(epochs, start=1):
+        eng.apply_epoch(e, spark.createDataFrame(
+            delta, "doc_id string, grp string, val long, lsn long, op string"))
+        res = mv.refresh()
+        assert res["mode"] == "incremental", (e, res)
+        check()
+
+    # crash-equivalence: a fresh handle binds to both tables and agrees
+    mv2 = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["grp"],
+        measures={
+            "n": ("count", None),
+            "mx": ("max", "val"),
+            "mn": ("min", "val"),
+            "av": ("avg", "val"),
+        },
+    )
+    assert mv2.refresh()["mode"] == "noop"
+
+
+def test_rollup_avg_all_null_group_is_null(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "x", None)], "doc_id string, grp string, val long"
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), df.schema, num_buckets=2,
+        properties={"key_col": "doc_id"},
+    )
+    src.overwrite_all(df, key_col="doc_id")
+    mv = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["grp"],
+        measures={"av": ("avg", "val"), "n": ("count", None)},
+    )
+    mv.refresh()
+    r = mv.read().collect()[0]
+    assert r["av"] is None and r["n"] == 1
+
+
 def test_cow_merge_commits_are_change_feed_derivable(spark, tmp_path):
     """Round-4 feature: a copy-on-write merge commit attaches its resolved
     epoch delta as changelog sidecar files, so changes() derives the same
