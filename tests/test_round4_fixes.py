@@ -409,6 +409,97 @@ def test_rollup_minmax_avg_measures(spark, tmp_path):
     assert mv2.refresh()["mode"] == "noop"
 
 
+def test_rollup_minmax_refresh_stays_bucket_pruned(spark, tmp_path):
+    """One changed key out of 64 must scan one source bucket even with
+    extrema measures — the partial-cell recompute reads the same pruned
+    bucket set the additive retract does."""
+    rows = [(f"d{i}", "g", i) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string, val long")
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), df.schema, num_buckets=8,
+        properties={"key_col": "doc_id"},
+    )
+    src.overwrite_all(df, key_col="doc_id")
+    mv = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["grp"],
+        measures={"mx": ("max", "val"), "n": ("count", None)},
+    )
+    mv.refresh()
+    eng = CDCEngine(spark, src, key="doc_id", order="lsn", count_input=False)
+    eng.apply_epoch(1, spark.createDataFrame(
+        [("d63", None, None, 101, "D")],  # delete the max
+        "doc_id string, grp string, val long, lsn long, op string"))
+    res = mv.refresh()
+    assert res["mode"] == "incremental"
+    assert res["src_buckets_scanned"] == 1 and res["src_buckets_total"] == 8
+    got = mv.read().collect()[0]
+    assert (got["mx"], got["n"]) == (62, 63)
+
+
+def test_rollup_minmax_property_random_ops(spark, tmp_path):
+    """Random I/U/D sweep with min/max/avg: after every epoch the
+    maintained rollup equals a fresh GROUP BY (incl. null values)."""
+    import random as _random
+
+    for seed in (0, 5):
+        rng = _random.Random(seed)
+        root = tmp_path / f"pm{seed}"
+        rows = [
+            (f"d{i}", f"g{rng.randrange(3)}",
+             rng.randrange(100) if rng.random() > 0.15 else None)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, grp string, val long")
+        src = LakeTable.create(
+            spark, str(root / "src"), df.schema, num_buckets=4,
+            properties={"key_col": "doc_id"},
+        )
+        src.overwrite_all(df, key_col="doc_id")
+        mv = IncrementalRollup(
+            spark, src, str(root / "mv"), group_cols=["grp"],
+            measures={
+                "n": ("count", None), "mx": ("max", "val"),
+                "mn": ("min", "val"), "av": ("avg", "val"),
+            },
+        )
+        mv.refresh()
+        eng = CDCEngine(spark, src, key="doc_id", order="lsn", count_input=False)
+        lsn, live = 100, {f"d{i}" for i in range(20)}
+        for epoch in range(1, 4):
+            evs = []
+            for _ in range(rng.randrange(2, 8)):
+                lsn += 1
+                r = rng.random()
+                if r < 0.3 and live:
+                    k = rng.choice(sorted(live))
+                    live.discard(k)
+                    evs.append((k, None, None, lsn, "D"))
+                elif r < 0.55:
+                    k = f"n{lsn}"
+                    live.add(k)
+                    evs.append((k, f"g{rng.randrange(3)}",
+                                rng.randrange(100) if rng.random() > 0.2 else None,
+                                lsn, "I"))
+                else:
+                    k = rng.choice(sorted(live)) if live else f"n{lsn}"
+                    live.add(k)
+                    evs.append((k, f"g{rng.randrange(3)}",
+                                rng.randrange(100) if rng.random() > 0.2 else None,
+                                lsn, "U"))
+            eng.apply_epoch(epoch, spark.createDataFrame(
+                evs, "doc_id string, grp string, val long, lsn long, op string"))
+            assert mv.refresh()["mode"] == "incremental"
+            got = {
+                r["grp"]: (r["n"], r["mx"], r["mn"], r["av"])
+                for r in mv.read().collect()
+            }
+            exp = _expected_full(src, [
+                F.count("*").alias("n"), F.max("val").alias("mx"),
+                F.min("val").alias("mn"), F.avg("val").alias("av"),
+            ])
+            assert got == exp, (seed, epoch, got, exp)
+
+
 def test_rollup_avg_all_null_group_is_null(spark, tmp_path):
     df = spark.createDataFrame(
         [("a", "x", None)], "doc_id string, grp string, val long"
