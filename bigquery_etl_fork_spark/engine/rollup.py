@@ -174,7 +174,10 @@ class IncrementalRollup:
             fields.append(T.StructField(f"_{name}_sum", self._measure_store_type(col)))
             fields.append(T.StructField(f"_{name}_cnt", T.LongType()))
         for name, (_kind, col) in self.extrema.items():
-            fields.append(T.StructField(name, src_fields[col].dataType))
+            # store extrema WIDENED (int->long, float->double) so a later
+            # source widening (the engine's int32->int64 evolution) leaves
+            # the stored schema valid instead of breaking the rebind check
+            fields.append(T.StructField(name, self._measure_store_type(col)))
         return T.StructType(fields)
 
     def _expected_partials_schema(self) -> T.StructType:
@@ -183,7 +186,7 @@ class IncrementalRollup:
         fields.append(T.StructField("src_bucket", T.IntegerType()))
         fields.append(T.StructField(_NROWS, T.LongType()))
         for name, (_kind, col) in self.extrema.items():
-            fields.append(T.StructField(name, src_fields[col].dataType))
+            fields.append(T.StructField(name, self._measure_store_type(col)))
         return T.StructType(fields)
 
     # ---------------- aggregation pieces ----------------
@@ -215,7 +218,9 @@ class IncrementalRollup:
 
     def _extrema_exprs(self) -> list[Column]:
         return [
-            (F.min(F.col(col)) if kind == "min" else F.max(F.col(col))).alias(name)
+            (F.min(F.col(col)) if kind == "min" else F.max(F.col(col)))
+            .cast(self._measure_store_type(col))
+            .alias(name)
             for name, (kind, col) in self.extrema.items()
         ]
 

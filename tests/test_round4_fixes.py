@@ -500,6 +500,58 @@ def test_rollup_minmax_property_random_ops(spark, tmp_path):
             assert got == exp, (seed, epoch, got, exp)
 
 
+def test_rollup_minmax_survives_schema_evolution_mid_range(spark, tmp_path):
+    """int32->int64 widening mid-replay: extrema are STORED widened from
+    the start, so the partial cells and finals stay schema-valid across
+    the evolution and a fresh handle rebinds cleanly."""
+    from bigquery_etl_fork_spark import datagen
+
+    paths = datagen.write_dataset(
+        str(tmp_path / "data"), n_docs=150, n_events=1200, n_epochs=4,
+        seed=13, evolve_at_epoch=3,
+    )
+    base = spark.read.parquet(paths["base"])
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), base.schema, num_buckets=4,
+        properties={"key_col": "doc_id"},
+    )
+    src.overwrite_all(base, key_col="doc_id")
+    measures = {
+        "n": ("count", None), "mx": ("max", "n_tok"),
+        "mn": ("min", "n_tok"), "av": ("avg", "n_tok"),
+    }
+    mv = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["source"],
+        measures=measures,
+    )
+    mv.refresh()
+    eng = CDCEngine(spark, src, key="doc_id", order="lsn")
+    log = spark.read.parquet(paths["log"])
+    for e in sorted(r["epoch"] for r in log.select("epoch").distinct().collect()):
+        eng.apply_epoch(int(e), log.where(F.col("epoch") == int(e)).drop("epoch"))
+        assert mv.refresh()["mode"] == "incremental"
+        got = {
+            r["source"]: (r["n"], r["mx"], r["mn"], r["av"])
+            for r in mv.read().collect()
+        }
+        exp = {
+            r["source"]: (r["n"], r["mx"], r["mn"], r["av"])
+            for r in src.read(key_col="doc_id").groupBy("source").agg(
+                F.count("*").alias("n"),
+                F.max("n_tok").cast("long").alias("mx"),
+                F.min("n_tok").cast("long").alias("mn"),
+                F.avg("n_tok").alias("av"),
+            ).collect()
+        }
+        assert got == exp, (e, got, exp)
+    # post-evolution rebind validates cleanly
+    mv2 = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["source"],
+        measures=measures,
+    )
+    assert mv2.refresh()["mode"] == "noop"
+
+
 def test_rollup_avg_all_null_group_is_null(spark, tmp_path):
     df = spark.createDataFrame(
         [("a", "x", None)], "doc_id string, grp string, val long"
