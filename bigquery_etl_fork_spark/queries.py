@@ -2062,6 +2062,69 @@ LEFT JOIN pb p USING (doc_id)
 SQL_CONTAMINATION = _sql_contamination()
 
 
+def q_contamination_tokens(spark, sf_dir, n: int = 5):
+    """Tokens-native decontamination — the production shape: benchmark
+    contamination is defined over TOKEN n-grams (e.g. 13-gram token
+    overlap), and the operator's shingle kernel dispatches on the column
+    type, so the same contaminated_docs() call runs on `tokens:
+    array<int32>` directly. Same corpus/bench split and md5 tokenization
+    as minhash_tokens; with this row the tokens payload has dedup
+    (minhash+simhash) AND decontamination oracle-checked end-to-end."""
+    from .operators.dedup_text import contaminated_docs
+
+    d = load(spark, sf_dir, "documents")
+    tok = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: F.pmod(
+            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+            F.lit(2147483647),
+        ).cast("int"),
+    )
+    corpus = d.where(F.col("doc_id") % 17 != 0).select("doc_id", tok.alias("tokens"))
+    bench = d.where(F.col("doc_id") % 17 == 0).select("doc_id", tok.alias("tokens"))
+    out = contaminated_docs(corpus, bench, "doc_id", "tokens", n=n)
+    return out.select(
+        "doc_id",
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+        "n_bench_examples",
+        "contaminated",
+    )
+
+
+def _sql_contamination_tokens(n: int = 5):
+    def sh(src, idc):
+        return f"""(SELECT DISTINCT {idc}, shingle FROM (
+  SELECT {idc},
+         unnest(CASE WHEN len(tokens) >= {n}
+                THEN [array_to_string(tokens[i:i+{n - 1}], '_')
+                      for i in range(1, len(tokens) - {n - 2})]
+                ELSE [array_to_string(tokens, '_')] END) AS shingle
+  FROM (SELECT {idc}, [{_SQL_TOK_EXPR} for x in string_split(text, ' ')]
+               AS tokens FROM {src}) z0) z1)"""
+
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 17 = 0),
+csh AS {sh('corpus', 'doc_id')},
+bsh AS {sh('bench', 'bench_id')},
+bg AS (SELECT DISTINCT shingle FROM bsh),
+hits AS (SELECT doc_id, count(*) AS n_shared_grams
+         FROM csh JOIN bg USING (shingle) GROUP BY doc_id),
+pb AS (SELECT doc_id, count(DISTINCT bench_id) AS n_bench_examples
+       FROM csh JOIN bsh USING (shingle) GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(coalesce(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+       CAST(coalesce(p.n_bench_examples, 0) AS BIGINT) AS n_bench_examples,
+       coalesce(h.n_shared_grams, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM corpus) c
+LEFT JOIN hits h USING (doc_id)
+LEFT JOIN pb p USING (doc_id)
+"""
+
+
+SQL_CONTAMINATION_TOKENS = _sql_contamination_tokens()
+
+
 def q_export_shards(spark, sf_dir, num_shards: int = 8):
     """The deterministic pre-shuffled shard layout the training-export sink
     writes (sources.export.shard_plan / export_training_shards — reference
@@ -2210,6 +2273,7 @@ QUERIES = {
     "rollup_minmax": q_rollup_minmax,
     "corpus_prep": q_corpus_prep,
     "contamination": q_contamination,
+    "contamination_tokens": q_contamination_tokens,
     "export_shards": q_export_shards,
     "train_val_split": q_train_val_split,
     "stratified_sample": q_stratified_sample,
@@ -2271,6 +2335,7 @@ ORACLES = {
     "rollup_minmax": SQL_ROLLUP_MINMAX,
     "corpus_prep": SQL_CORPUS_PREP,
     "contamination": SQL_CONTAMINATION,
+    "contamination_tokens": SQL_CONTAMINATION_TOKENS,
     "export_shards": SQL_EXPORT_SHARDS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
