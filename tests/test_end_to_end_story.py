@@ -1,6 +1,8 @@
 """The whole engine in one story — init → tail → evolve → shred → backfill
-→ change feed → checks. Every stage uses the public API and asserts against
-an independent oracle; this is the integration narrative behind COVERAGE.md.
+→ change feed → checks, with a change-feed-maintained rollup (count/max/avg,
+round-4 extrema maintenance) tracking the table through every stage. Every
+stage uses the public API and asserts against an independent oracle; this is
+the integration narrative behind COVERAGE.md.
 """
 
 import pyarrow as pa
@@ -8,8 +10,10 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pyspark.sql.types as T
 
+import pyspark.sql.functions as F
+
 from bigquery_etl_fork_spark import datagen
-from bigquery_etl_fork_spark.engine import CDCEngine
+from bigquery_etl_fork_spark.engine import CDCEngine, IncrementalRollup
 from bigquery_etl_fork_spark.engine import checks as C
 from bigquery_etl_fork_spark.engine.backfill import run_backfill
 from bigquery_etl_fork_spark.engine.shredder import shred_keys
@@ -40,15 +44,38 @@ def test_full_lifecycle(spark, tmp_path):
     v_init = t.snapshot.version
     eng = CDCEngine(spark, t, count_input=False)
 
-    # --- 2. tail the log (epochs 1-3) ------------------------------------
+    # --- 2. tail the log (epochs 1-3), with a maintained rollup ----------
+    mv = IncrementalRollup(
+        spark, t, str(tmp_path / "mv"), group_cols=["source"],
+        measures={"n": ("count", None), "max_tok": ("max", "n_tok"),
+                  "avg_tok": ("avg", "n_tok")},
+        key_col="doc_id",
+    )
+    assert mv.refresh()["mode"] == "full"  # bootstrap over the initial load
+
+    def assert_mv_tracks():
+        got = {r["source"]: (r["n"], r["max_tok"], r["avg_tok"])
+               for r in mv.read().collect()}
+        exp = {r["source"]: (r["n"], r["mx"], r["av"])
+               for r in t.read(key_col="doc_id").groupBy("source").agg(
+                   F.count("*").alias("n"),
+                   F.max("n_tok").cast("long").alias("mx"),
+                   F.avg("n_tok").alias("av")).collect()}
+        assert got == exp, (got, exp)
+
     tail_changelog(eng, str(d / "log"), max_polls=1, poll_interval_s=0)
     assert t.snapshot.properties["epoch_watermark"] == 3
+    assert mv.refresh()["mode"] == "incremental"
+    assert_mv_tracks()
 
     # --- 3. schema evolution mid-stream (epochs 4-5 carry lang + int64) --
     pq.write_to_dataset(post, str(d / "log"), partition_cols=["epoch"])
     tail_changelog(eng, str(d / "log"), max_polls=1, poll_interval_s=0)
     assert "lang" in t.schema.fieldNames()
     assert t.schema["n_tok"].dataType == T.LongType()
+    # rollup follows across the widening (extrema stored widened)
+    assert mv.refresh()["mode"] == "incremental"
+    assert_mv_tracks()
 
     pre_lang = pre.append_column("lang", pa.nulls(len(pre), pa.string()))
     pre_lang = pre_lang.set_column(pre_lang.schema.get_field_index("n_tok"),
@@ -87,11 +114,23 @@ def test_full_lifecycle(spark, tmp_path):
                                                     promote_options="default"))
     got = t.read(key_col="doc_id").toPandas()
     assert_states_equal(got[expected.columns.tolist()], expected)
+    # the promote commit rewrote state out-of-band: rollup self-heals via
+    # its full-recompute fallback
+    assert mv.refresh()["mode"] == "full"
+    assert_mv_tracks()
 
-    # --- 7. GDPR shred LAST: victims physically gone, history expired ----
+    # --- 7. GDPR shred LAST: emit_changes keeps the rollup incremental;
+    # victims physically gone once history is expired + vacuumed ----------
     victims = sorted(set(lp["doc_id"]))[:5]
-    shred_keys(spark, t, victims, key_col="doc_id")
+    shred_keys(spark, t, victims, key_col="doc_id", vacuum=False,
+               emit_changes=True)
     assert set(t.read(key_col="doc_id").toPandas()["doc_id"]).isdisjoint(victims)
+    # deletes flowed through the feed as retracts — no full recompute
+    assert mv.refresh()["mode"] == "incremental"
+    assert_mv_tracks()
+    # downstream is caught up: NOW expire history and vacuum (GDPR)
+    t.expire_snapshots(keep_last=1)
+    t.vacuum()
     import glob
     for fp in glob.glob(str(tmp_path / "tbl" / "data" / "**" / "*.parquet"), recursive=True):
         assert set(pq.read_table(fp, columns=["doc_id"])["doc_id"].to_pylist()).isdisjoint(victims)
