@@ -655,6 +655,43 @@ def test_cow_merge_commits_are_change_feed_derivable(spark, tmp_path):
         t2.changes(v02, key_col="doc_id")
 
 
+def test_cow_changelog_survives_fold_compaction(spark, tmp_path):
+    """The CoW merge's fold-compaction branch (frag threshold reached:
+    clustering shuffle resets affected buckets) must still attach the
+    epoch's changelog — the feed stays derivable whichever write path the
+    epoch takes."""
+    rows = [(f"d{i}", i) for i in range(20)]
+    schema = "doc_id string, val long"
+
+    def build(mode, **kw):
+        df = spark.createDataFrame(rows, schema)
+        t = LakeTable.create(
+            spark, str(tmp_path / f"{mode}{len(kw)}"), df.schema, num_buckets=2,
+            properties={"key_col": "doc_id"},
+        )
+        t.overwrite_all(df, key_col="doc_id")
+        eng = CDCEngine(spark, t, key="doc_id", order="lsn",
+                        storage_mode=mode, count_input=False, **kw)
+        v0 = t.snapshot.version
+        for e in range(1, 4):
+            eng.apply_epoch(e, spark.createDataFrame(
+                [(f"d{e}", 100 * e, 100 * e, "U"),
+                 (f"x{e}", e, 100 * e + 1, "I")],
+                "doc_id string, val long, lsn long, op string"))
+        return t, v0
+
+    # compact_files_per_bucket=1 forces the fold branch on every CoW epoch
+    tc, v0c = build("cow", compact_files_per_bucket=1)
+    tm, v0m = build("mor")
+    feed = lambda t, v0: {
+        (r["doc_id"], r["op"], r["val"], r["lsn"])
+        for r in t.changes(v0, key_col="doc_id").collect()
+    }
+    assert feed(tc, v0c) == feed(tm, v0m)
+    assert {r["doc_id"]: r["val"] for r in tc.read(key_col="doc_id").collect()} == \
+           {r["doc_id"]: r["val"] for r in tm.read(key_col="doc_id").collect()}
+
+
 def test_contamination_planted_ngrams(spark):
     """Planted overlap: a corpus doc embedding an eval example's 5-gram is
     flagged; clean docs are not; counts match hand-derivation."""
