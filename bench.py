@@ -247,25 +247,54 @@ def main() -> None:
     # the live (idle) JVM whose background threads inflate the single-proc
     # probe ~1.6-1.9x — it senses mid-run drift, not absolute load.
     ref = {"single_sec": 0.40, "par8_sec": 1.08}
-    out = {
-        "metric": "cdc_events_applied_per_sec",
-        "value": cdc["events_per_sec"],
-        "unit": "events/sec",
+    detail = {
+        "bench_detail": True,
         "queries": qsecs,
-        "sf": sf,
-        "cpus": CPUS,
-        "host_calibration_sec": cal_before["single_sec"],
         "host_calibration": {
             "before": cal_before,
             "after_in_jvm": cal_after,
             "reference_unloaded": ref,
-            "load_factor_single": round(cal_before["single_sec"] / ref["single_sec"], 2),
-            "load_factor_par8": round(cal_before["par8_sec"] / ref["par8_sec"], 2),
         },
         "cdc": cdc,
         "cdc_bulk_catchup": bulk,
     }
-    print(json.dumps(out))
+    # The round driver keeps only the LAST ~2000 chars of stdout (VERDICT r4
+    # #2: BENCH_r04 was `parsed: null` because the single fat JSON line
+    # outgrew that tail and the capture started mid-line). So: full detail on
+    # an EARLIER line + a side file, and the LAST printed line is a compact
+    # headline guaranteed under 1800 bytes.
+    print(json.dumps(detail))
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(side, "w") as fh:
+        json.dump(detail, fh, indent=2)
+    print(headline_line(qsecs, cdc, bulk, cal_before, ref, sf))
+
+
+def headline_line(qsecs, cdc, bulk, cal_before, ref, sf) -> str:
+    """Compact final-line JSON, guaranteed ≤1800 bytes (driver keeps only
+    the last ~2000 chars of stdout; a longer line parses as null)."""
+    out = {
+        "metric": "cdc_events_applied_per_sec",
+        "value": cdc["events_per_sec"],
+        "unit": "events/sec",
+        "queries": {k: round(v, 2) for k, v in qsecs.items()},
+        "sf": sf,
+        "cpus": CPUS,
+        "host_calibration_sec": cal_before["single_sec"],
+        "load_factor_single": round(cal_before["single_sec"] / ref["single_sec"], 2),
+        "load_factor_par8": round(cal_before["par8_sec"] / ref["par8_sec"], 2),
+        "cdc_drip_sec": cdc["seconds"],
+        "cdc_bulk_sec": bulk["seconds"],
+        "cdc_bulk_events_per_sec": bulk["events_per_sec"],
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(out)
+    if len(line) > 1800:
+        # per-query timings live in the detail line/file; the headline must
+        # survive the driver's 2000-char stdout tail no matter what
+        out["queries"] = "see BENCH_DETAIL.json"
+        line = json.dumps(out)
+    return line
 
 
 def scaling() -> None:

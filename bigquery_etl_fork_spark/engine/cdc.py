@@ -606,12 +606,18 @@ class CDCEngine:
         rows_deleted = sum(int(r["dels"]) for r in lin)
 
         if not affected:  # empty epoch: manifest row, no data change
+            # commit_op='merge' (feed-safe, zero changelog files = zero
+            # feed rows), NOT the default 'overwrite': an 'overwrite' row
+            # in the manifest makes changes() raise over any range spanning
+            # this epoch, silently degrading downstream rollup refreshes to
+            # full recompute (ADVICE r4)
             self.table._commit(
                 {},
                 None,
                 None,
                 props,
                 [self._lineage_row(epoch, -1, None, None, 0, 0, 0, t0)],
+                commit_op="merge",
             )
             return EpochStats(epoch, events_in, 0, 0, 0, time.time() - t0)
 

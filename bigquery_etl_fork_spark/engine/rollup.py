@@ -108,6 +108,10 @@ class IncrementalRollup:
         self.key_col = key_col or source.snapshot.properties.get("key_col")
         if self.key_col is None:
             raise ValueError("key_col required (pass it or set table property)")
+        # max changed keys collected driver-side to drive zone-map file
+        # skipping on the retract read; beyond this the collect itself is
+        # the cost, so the read falls back to whole changed buckets
+        self.keys_prune_limit = 100_000
         expected = self._expected_schema()
         if LakeTable.exists(target_root):
             self.target = LakeTable(spark, target_root)
@@ -251,9 +255,15 @@ class IncrementalRollup:
         last: Exception | None = None
         for attempt in range(5):
             # pick up concurrent source commits (a live tailer) and, after a
-            # lost race, the winning refresher's version pointer
+            # lost race, the winning refresher's version pointer — including
+            # the partials sidecar: its commit lands BEFORE the main write,
+            # so a refresher that loses the target race must also re-read
+            # the winner's partials or every retry re-conflicts on the same
+            # stale partials snapshot (ADVICE r4)
             self.source.refresh()
             self.target.refresh()
+            if self.partials is not None:
+                self.partials.refresh()
             try:
                 return self._refresh_once()
             except CommitConflict as e:
@@ -306,8 +316,20 @@ class IncrementalRollup:
             .distinct()
             .collect()
         )
+        # zone-map file skipping (VERDICT r4 #6): for a bounded changed-key
+        # set, hand read() the keys so it prunes file lists INSIDE the
+        # changed buckets by per-file key min/max — the retract read then
+        # touches ~1 file per key per bucket instead of whole buckets. The
+        # semi join below restricts to exactly these keys, which is what
+        # makes the pruned (keys-complete-only) read correct. Unbounded key
+        # sets skip the collect and read whole buckets as before.
+        klist: list | None = [
+            r[0] for r in changed_keys.limit(self.keys_prune_limit + 1).collect()
+        ]
+        if len(klist) > self.keys_prune_limit:
+            klist = None
         old = self.source.read(
-            buckets=src_buckets, key_col=key, at_version=from_v
+            buckets=src_buckets, key_col=key, at_version=from_v, keys=klist
         ).join(changed_keys, key, "semi")
         adds_src = ch.where(F.col("op") != "D")
         retract = old.groupBy(*self.group_cols).agg(*self._agg_exprs(-1))
@@ -331,13 +353,20 @@ class IncrementalRollup:
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-            if touched.head(1):  # empty feed range: no partials work
+            # gate on changed BUCKETS, not touched groups: a key inserted
+            # then deleted inside the range leaves touched empty while its
+            # bucket still holds a possibly-stale cell from a crashed
+            # narrower refresh — healing requires superseding the changed
+            # buckets' cells regardless of touched (ADVICE r4)
+            if src_buckets:
                 minmax = self._refresh_partials(touched, src_buckets, to_v)
         res = self._apply_delta(net, to_v, mode="incremental", minmax=minmax)
         # pruning observability: how much of the source the retract side
         # actually touched (the O(changed buckets) claim, reportable)
         res["src_buckets_scanned"] = len(src_buckets)
         res["src_buckets_total"] = self.source.num_buckets
+        if klist is not None and self.source.last_read_stats:
+            res["src_files"] = dict(self.source.last_read_stats)
         return res
 
     def _nullsafe_cond(self, a, b) -> list[Column]:
@@ -346,52 +375,54 @@ class IncrementalRollup:
     def _refresh_partials(
         self, touched: DataFrame, src_buckets: list[int], to_v: int
     ) -> DataFrame:
-        """Re-derive the (touched group x changed source bucket) partial
-        min/max cells from the changed buckets' state at ``to_v``, fold
-        them into the partials table, and return the touched groups' new
-        FINAL extrema (group_cols + one column per min/max measure + a
-        ``_touched`` marker). Idempotent for a closed refresh range, so it
-        safely commits before the main rollup write."""
+        """Re-derive the partial min/max cells of the changed source
+        buckets from those buckets' state at ``to_v``, fold them into the
+        partials table, and return the touched groups' new FINAL extrema
+        (group_cols + one column per min/max measure + a ``_touched``
+        marker). Idempotent for a closed refresh range, so it safely
+        commits before the main rollup write.
+
+        Cells are recomputed for ALL groups present in the changed buckets
+        (no touched semi-join) and stale cells are dropped on
+        ``src_bucket IN changed`` alone (ADVICE r4): a crashed refresh can
+        commit a cell for a group that a later, wider range's change feed
+        never surfaces as touched (key inserted then moved/deleted inside
+        the range), so healing must supersede every cell of a changed
+        bucket, not just the touched groups' cells. The recompute input is
+        the changed buckets — which the retract path scans anyway — so
+        this widens only the aggregation, not the read."""
         key = self.key_col
-        cur = self.source.read(
-            buckets=src_buckets, key_col=key, at_version=to_v
-        ).alias("s")
+        pt = self.partials
         t = touched.alias("t")
-        scoped = cur.join(t, self._nullsafe_cond(cur, t), "semi")
+        cur = self.source.read(buckets=src_buckets, key_col=key, at_version=to_v)
         cells_new = (
-            scoped.groupBy(
+            cur.groupBy(
                 *self.group_cols,
                 F.pmod(F.xxhash64(key), F.lit(self.source.num_buckets))
                 .cast("int")
                 .alias("src_bucket"),
             )
             .agg(F.count(F.lit(1)).alias(_NROWS), *self._extrema_exprs())
+            .localCheckpoint(eager=True)  # feeds bucket list + write + finals
         )
-        pt = self.partials
+        b_expr = _group_bucket(self.group_cols, pt.num_buckets).alias("b")
+        stale = F.col("src_bucket").isin([int(b) for b in src_buckets])
+        # affected partial buckets: groups recomputed now, groups holding a
+        # stale cell for a changed src bucket (found via a full partials
+        # scan — the table is rollup-sized x source buckets, << source),
+        # plus the touched set (the finals fold below must see EVERY cell
+        # of every touched group; all of a group's cells share one partial
+        # bucket since bucketing keys on group_cols)
         pb_list = sorted(
             r["b"]
-            for r in touched.select(
-                _group_bucket(self.group_cols, pt.num_buckets).alias("b")
-            )
+            for r in cells_new.select(b_expr)
+            .unionByName(pt.read().where(stale).select(b_expr))
+            .unionByName(touched.select(b_expr))
             .distinct()
             .collect()
         )
-        existing = pt.read(buckets=pb_list).alias("e")
-        marked = existing.join(
-            t.withColumn("_t", F.lit(True)),
-            self._nullsafe_cond(existing, t),
-            "left",
-        ).select("e.*", "_t")
-        # drop stale cells: touched group AND recomputed (changed) bucket
-        keep = marked.where(
-            ~(
-                F.coalesce(F.col("_t"), F.lit(False))
-                & F.col("src_bucket").isin([int(b) for b in src_buckets])
-            )
-        ).drop("_t")
-        new_rows = keep.unionByName(
-            cells_new.where(F.col(_NROWS) > 0)
-        ).localCheckpoint(eager=True)  # feeds the write AND the finals agg
+        keep = pt.read(buckets=pb_list).where(~stale)
+        new_rows = keep.unionByName(cells_new).localCheckpoint(eager=True)
         pt.overwrite_buckets(
             pb_list,
             new_rows.withColumn(

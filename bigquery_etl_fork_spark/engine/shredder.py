@@ -118,6 +118,8 @@ def shred_keys(
             affected,
             tomb,
             key_col=key_col,
+            op_col=op_col,
+            order_col=order_col,
             lineage=[
                 {"op": "shred_tombstone", "partition_id": b, "committed_at": time.time()}
                 for b in affected

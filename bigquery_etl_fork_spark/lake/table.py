@@ -115,6 +115,8 @@ class LakeTable:
         self.spark = spark
         self.root = root
         self._snapshot = self._load_latest()
+        # observability for keys-pruned reads (set by read(keys=...))
+        self.last_read_stats: dict[str, int] | None = None
 
     # ---------------- creation / loading ----------------
 
@@ -219,6 +221,27 @@ class LakeTable:
     def _sid_paths(entries: list[dict[str, Any]]) -> list[tuple[str, str]]:
         return [(str(f["schema_id"]), f["path"]) for f in entries]
 
+    @staticmethod
+    def _prune_by_keys(
+        entries: list[dict[str, Any]], keys_sorted: list, key_col: str
+    ) -> list[dict[str, Any]]:
+        """Zone-map file skip: keep entries whose recorded [key_min,
+        key_max] may contain one of ``keys_sorted``. Entries without key
+        stats (older files) are always kept — skipping is an optimization,
+        never a correctness bet. Driver-side, manifest-only, no I/O."""
+        import bisect
+
+        out = []
+        for e in entries:
+            lo, hi = e.get(f"{key_col}_min"), e.get(f"{key_col}_max")
+            if lo is None or hi is None:
+                out.append(e)
+                continue
+            i = bisect.bisect_left(keys_sorted, lo)
+            if i < len(keys_sorted) and keys_sorted[i] <= hi:
+                out.append(e)
+        return out
+
     def snapshot_at(self, version: int) -> Snapshot:
         """Load a historical snapshot (time travel; files must not have been
         vacuumed since)."""
@@ -233,6 +256,7 @@ class LakeTable:
         order_col: str = "lsn",
         op_col: str = "op",
         at_version: int | None = None,
+        keys: list | None = None,
     ) -> DataFrame:
         """Current table state, pruned to ``buckets``.
 
@@ -242,12 +266,23 @@ class LakeTable:
         deltas this is a plain pruned scan (no shuffle). ``key_col`` is
         required only when deltas exist (the engine always passes it).
         ``at_version`` reads a historical snapshot (time travel).
+
+        ``keys`` (a driver-side list of key values) additionally skips
+        files whose recorded key zone map cannot contain any of them —
+        manifest-level file skipping inside a bucket, the key-targeted
+        analog of ``read_deltas_since``'s lsn skipping. The result is the
+        complete, correctly resolved state FOR THOSE KEYS ONLY: rows of
+        other keys may appear partially resolved (their files were
+        skipped), so callers MUST restrict downstream to ``keys`` (the
+        rollup retract path's semi join does exactly that). Files without
+        recorded key stats are never skipped. ``last_read_stats`` records
+        the kept/total file counts for observability.
         """
         if at_version is not None and at_version != self._snapshot.version:
             prev = self._snapshot
             self._snapshot = self.snapshot_at(at_version)
             try:
-                return self.read(buckets, key_col, order_col, op_col)
+                return self.read(buckets, key_col, order_col, op_col, keys=keys)
             finally:
                 self._snapshot = prev
         snap = self._snapshot
@@ -262,8 +297,23 @@ class LakeTable:
                 "deliberately"
             )
         target = snap.schema
-        base = self._read_files(self._sid_paths(self._entries(buckets, "base")), target)
+        base_entries = self._entries(buckets, "base")
         delta_entries = self._entries(buckets, "delta")
+        if keys is not None:
+            kc = key_col or snap.properties.get("key_col")
+            if kc is None:
+                raise ValueError("key_col required for keys-pruned reads")
+            ks = sorted(keys)
+            n_base, n_delta = len(base_entries), len(delta_entries)
+            base_entries = self._prune_by_keys(base_entries, ks, kc)
+            delta_entries = self._prune_by_keys(delta_entries, ks, kc)
+            self.last_read_stats = {
+                "base_files_total": n_base,
+                "base_files_kept": len(base_entries),
+                "delta_files_total": n_delta,
+                "delta_files_kept": len(delta_entries),
+            }
+        base = self._read_files(self._sid_paths(base_entries), target)
         if not delta_entries:
             return base if base is not None else self.spark.createDataFrame([], target)
 
@@ -315,12 +365,14 @@ class LakeTable:
     # ---------------- write path ----------------
 
     def _stats_for_dir(
-        self, commit_dir: str, stats_col: str | None = None
+        self, commit_dir: str, stats_cols: list[str] | None = None
     ) -> dict[str, list[dict[str, Any]]]:
         """Walk a freshly written partitioned dir (``_b=NN[/_t=x]``); collect
-        per-file row/byte stats — and, when ``stats_col`` is given, that
+        per-file row/byte stats — and, for each of ``stats_cols``, that
         column's min/max from Parquet footer statistics — all driver-side,
-        no Spark job."""
+        no Spark job. Recorded ranges are the manifest-level zone maps
+        ``read_deltas_since`` (lsn) and ``read(keys=...)`` (key) skip
+        files by."""
         todo: list[tuple[str, dict, str]] = []
         for dirpath, _dn, filenames in os.walk(commit_dir):
             parts = {}
@@ -345,10 +397,10 @@ class LakeTable:
             }
             if TOMB_COL in parts:
                 rec["tomb"] = parts[TOMB_COL] == "d"
-            if stats_col is not None:
+            for col in stats_cols or []:
                 idx = next(
                     (i for i in range(meta.num_columns)
-                     if meta.schema.column(i).name == stats_col),
+                     if meta.schema.column(i).name == col),
                     None,
                 )
                 if idx is not None:
@@ -356,10 +408,13 @@ class LakeTable:
                     for rg in range(meta.num_row_groups):
                         st = meta.row_group(rg).column(idx).statistics
                         if st is not None and st.has_min_max:
-                            lo = st.min if lo is None else min(lo, st.min)
-                            hi = st.max if hi is None else max(hi, st.max)
-                    rec[f"{stats_col}_min"] = lo
-                    rec[f"{stats_col}_max"] = hi
+                            mn, mx = st.min, st.max
+                            if isinstance(mn, bytes):
+                                mn, mx = mn.decode(), mx.decode()
+                            lo = mn if lo is None else min(lo, mn)
+                            hi = mx if hi is None else max(hi, mx)
+                    rec[f"{col}_min"] = lo
+                    rec[f"{col}_max"] = hi
             return b, rec
 
         out: dict[str, list[dict[str, Any]]] = {}
@@ -374,7 +429,8 @@ class LakeTable:
         key_col: str | None,
         pre_clustered: bool = False,
         partition_cols: list[str] | None = None,
-        stats_col: str | None = None,
+        stats_cols: list[str] | None = None,
+        sort_col: str | None = None,
     ) -> tuple[str, dict]:
         """Write df (optionally adding the bucket column from key_col) into a
         fresh commit dir, partitioned by bucket. Returns (commit_id, stats).
@@ -397,8 +453,20 @@ class LakeTable:
             # One shuffle clusters rows by bucket so each bucket lands in few
             # files; this is the WRITE ORDERED BY clustering analog.
             df = df.repartition(BUCKET_COL)
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(commit_dir)
-        return commit_id, self._stats_for_dir(commit_dir, stats_col=stats_col)
+        if sort_col is not None:
+            # in-bucket clustering by sort_col: with max_file_rows splitting
+            # a bucket into several files, each file covers a narrow
+            # sort_col range — the footer zone maps recorded below then
+            # prune key-targeted reads to ~1 file per key per bucket
+            # (reference analog: clustering-for-pruning metadata,
+            # bigquery_etl/metadata/parse_metadata.py:96-101)
+            df = df.sortWithinPartitions(BUCKET_COL, sort_col)
+        writer = df.write.mode("overwrite")
+        max_rows = self._snapshot.properties.get("max_file_rows")
+        if max_rows:
+            writer = writer.option("maxRecordsPerFile", int(max_rows))
+        writer.partitionBy(*partition_cols).parquet(commit_dir)
+        return commit_id, self._stats_for_dir(commit_dir, stats_cols=stats_cols)
 
     @staticmethod
     def _write_snapshot(root: str, snap: Snapshot) -> None:
@@ -506,9 +574,11 @@ class LakeTable:
         properties_update: dict[str, Any] | None = None,
         lineage: list[dict[str, Any]] | None = None,
     ) -> Snapshot:
-        """Replace the entire table contents (initial load / full backfill)."""
+        """Replace the entire table contents (initial load / full backfill).
+        Base files are clustered by key and carry key zone maps — the
+        bootstrap is the first 'compacted run' key-targeted reads prune."""
         df = compat_select(df, self.schema) if df.schema != self.schema else df
-        _, stats = self._write_data(df, key_col)
+        _, stats = self._write_data(df, key_col, stats_cols=[key_col], sort_col=key_col)
         return self._commit(
             stats,
             replaced_buckets=list(range(self.num_buckets)),
@@ -528,9 +598,16 @@ class LakeTable:
         pre_clustered: bool = False,
         commit_op: str = "overwrite",
         changelog: dict[str, Any] | None = None,
+        cluster_by_key: bool = False,
     ) -> Snapshot:
         """Atomically replace the given buckets with df's rows (which must all
         belong to those buckets). The engine's MERGE commit primitive.
+
+        ``cluster_by_key=True`` sorts each bucket's rows by ``key_col`` and
+        records per-file key zone maps, so ``read(keys=...)`` can skip
+        files. Off by default: the CDC merge hot path should not pay a
+        per-epoch sort — compaction is where clustering is established
+        (the LSM shape: zone maps live on compacted runs).
 
         ``changelog`` (a ``stage_delta`` result) attaches the row-level
         changes this rewrite applied as 'changelog'-kind sidecar files in
@@ -540,7 +617,13 @@ class LakeTable:
         ``commit_op='merge'``)."""
         if schema is not None and schema != self.schema:
             df = compat_select(df, schema) if df.schema != schema else df
-        _, stats = self._write_data(df, key_col, pre_clustered=pre_clustered)
+        _, stats = self._write_data(
+            df,
+            key_col,
+            pre_clustered=pre_clustered,
+            stats_cols=[key_col] if cluster_by_key else None,
+            sort_col=key_col if cluster_by_key else None,
+        )
         stray = set(stats.keys()) - {str(b) for b in buckets}
         if stray:
             raise ValueError(f"rows written outside declared buckets: {sorted(stray)}")
@@ -592,7 +675,10 @@ class LakeTable:
             out,
             key_col,
             partition_cols=[BUCKET_COL, TOMB_COL],
-            stats_col=order_col,
+            # lsn range powers read_deltas_since skipping; key range powers
+            # read(keys=...) skipping — delta files cover one epoch's keys,
+            # so even unsorted their key range is often narrow
+            stats_cols=[order_col, key_col],
             pre_clustered=pre_clustered,
         )
         return {
@@ -634,9 +720,15 @@ class LakeTable:
         key_col: str,
         properties_update: dict[str, Any] | None = None,
         lineage: list[dict[str, Any]] | None = None,
+        op_col: str = "op",
+        order_col: str = "lsn",
     ) -> Snapshot:
-        """One-shot merge-on-read commit (stage + publish)."""
-        staged = self.stage_delta(df, key_col)
+        """One-shot merge-on-read commit (stage + publish). ``op_col`` /
+        ``order_col`` must name df's CDC columns when they differ from the
+        defaults — stage_delta converts op_col to the tombstone partition
+        and records per-file order_col min/max (ADVICE r4: a caller with
+        non-default names previously hit hard-coded 'op'/'lsn' here)."""
+        staged = self.stage_delta(df, key_col, op_col=op_col, order_col=order_col)
         stray = set(staged["stats"].keys()) - {str(b) for b in buckets}
         if stray:
             raise ValueError(f"delta rows written outside declared buckets: {sorted(stray)}")
@@ -712,7 +804,10 @@ class LakeTable:
         Iceberg rewrite_data_files analog): resolve merge-on-read state, then
         atomically replace those buckets with clustered base files."""
         resolved = self.read(buckets, key_col=key_col, order_col=order_col, op_col=op_col)
-        return self.overwrite_buckets(buckets, resolved, key_col=key_col, commit_op="compact")
+        return self.overwrite_buckets(
+            buckets, resolved, key_col=key_col, commit_op="compact",
+            cluster_by_key=True,
+        )
 
     def evolve_schema(self, new_schema: T.StructType) -> Snapshot:
         """Metadata-only commit applying an additive/widening schema change

@@ -270,26 +270,29 @@ def contaminated_docs(
     """Per-doc contamination verdict: (id, n_shared_grams,
     n_bench_examples, contaminated). ``n_shared_grams`` counts the doc's
     DISTINCT shingles that appear anywhere in the benchmark — the quantity
-    the usual 'drop if >= k colliding grams' policy thresholds on."""
+    the usual 'drop if >= k colliding grams' policy thresholds on.
+
+    Single-pass (VERDICT r4 #5): the corpus is shingled ONCE and one
+    broadcast join against the benchmark's (bench_id, shingle) relation
+    feeds BOTH aggregates — countDistinct(shingle) is exactly the old
+    count over the distinct-gram join (shingled() is distinct per doc),
+    countDistinct(bench_id) is exactly the old per-pair rollup. At 100 TB
+    the second full corpus scan the old two-call shape paid is gone."""
     if "bench_id" not in bench.columns:
         bench = bench.withColumnRenamed(id_col, "bench_id")
     ds = shingled(docs, id_col, text_col, n)
-    bgrams = F.broadcast(
-        shingled(bench, "bench_id", text_col, n).select("shingle").distinct()
-    )
-    hits = (
-        ds.join(bgrams, "shingle")
+    bs = F.broadcast(shingled(bench, "bench_id", text_col, n))
+    stats = (
+        ds.join(bs, "shingle")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_shared_grams"))
-    )
-    pairs = contamination_pairs(docs, bench, id_col, text_col, "bench_id", n)
-    per_bench = pairs.groupBy(id_col).agg(
-        F.countDistinct("bench_id").alias("n_bench_examples")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_examples"),
+        )
     )
     return (
         docs.select(id_col)
-        .join(hits, id_col, "left")
-        .join(per_bench, id_col, "left")
+        .join(stats, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),

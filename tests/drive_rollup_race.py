@@ -45,7 +45,16 @@ def mk_rollup(spark, src, work):
         src,
         os.path.join(work, "mv"),
         group_cols=["grp"],
-        measures={"n": ("count", None), "total": ("sum", "val")},
+        # hi/lo: extrema measures exercise the partials-sidecar path under
+        # the race — a refresher that loses the commit race must re-read
+        # the winner's partials snapshot too, or it re-conflicts forever
+        # (ADVICE r4; count/sum alone never touched the partials table)
+        measures={
+            "n": ("count", None),
+            "total": ("sum", "val"),
+            "hi": ("max", "val"),
+            "lo": ("min", "val"),
+        },
     )
 
 
@@ -112,13 +121,19 @@ def main():
         t = LakeTable(spark, src_root)
         mv = mk_rollup(spark, t, work)
         got = {
-            r["grp"]: (r["n"], r["total"]) for r in mv.read().collect()
+            r["grp"]: (r["n"], r["total"], r["hi"], r["lo"])
+            for r in mv.read().collect()
         }
         exp = {
-            r["grp"]: (r["n"], r["total"])
+            r["grp"]: (r["n"], r["total"], r["hi"], r["lo"])
             for r in t.read(key_col="doc_id")
             .groupBy("grp")
-            .agg(F.count("*").alias("n"), F.sum("val").alias("total"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("val").alias("total"),
+                F.max("val").alias("hi"),
+                F.min("val").alias("lo"),
+            )
             .collect()
         }
         print(

@@ -1,0 +1,333 @@
+"""Round-5 regression tests (VERDICT r4 "Next round" + ADVICE r4 items)."""
+
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bigquery_etl_fork_spark.engine import CDCEngine, IncrementalRollup  # noqa: E402
+from bigquery_etl_fork_spark.lake import LakeTable  # noqa: E402
+
+
+def test_bench_headline_line_fits_driver_tail():
+    """VERDICT r4 #2: BENCH_r04 parsed null because the final stdout line
+    outgrew the driver's 2000-char tail. The headline builder must stay
+    ≤1800 bytes even with every registered query at a worst-case timing."""
+    import bench
+    from bigquery_etl_fork_spark.queries import QUERIES
+
+    qsecs = {name: 9999.999 for name in QUERIES}
+    cdc = {"events_per_sec": 123456.7, "seconds": 9999.999}
+    bulk = {"events_per_sec": 123456.7, "seconds": 9999.999}
+    cal = {"single_sec": 99.999, "par8_sec": 99.999}
+    ref = {"single_sec": 0.40, "par8_sec": 1.08}
+    line = bench.headline_line(qsecs, cdc, bulk, cal, ref, 0.1)
+    assert len(line) <= 1800, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "cdc_events_applied_per_sec"
+    assert parsed["cdc_bulk_sec"] == 9999.999
+
+
+def test_registration_rotation_covers_unrecorded_queries():
+    """VERDICT r4 #1: the driver records at most the first ~50 registered
+    queries. The 7 rows missing from CORRECTNESS_r04 must now sit inside
+    the first 50, and QUERIES/ORACLES orders must agree."""
+    from bigquery_etl_fork_spark.queries import ORACLES, QUERIES
+
+    order = list(QUERIES)
+    assert list(ORACLES) == [k for k in order if k in ORACLES]
+    for name in (
+        "contamination",
+        "contamination_tokens",
+        "export_shards",
+        "cdc_replay",
+        "corpus_prep",
+        "train_val_split",
+        "stratified_sample",
+    ):
+        assert order.index(name) < 50, (name, order.index(name))
+
+
+def _bucket_of(spark, key: str, nb: int) -> int:
+    return (
+        spark.createDataFrame([(key,)], "k string")
+        .select(F.pmod(F.xxhash64("k"), F.lit(nb)).cast("int").alias("b"))
+        .collect()[0]["b"]
+    )
+
+
+def test_rollup_minmax_crashed_partials_cell_is_superseded(spark, tmp_path):
+    """ADVICE r4 (rollup.py:346): a refresh that crashed between the
+    partials commit and the main rollup commit can leave a cell for a
+    group the NEXT (wider) range's change feed never surfaces as touched
+    — the key that created it was inserted then deleted inside the range.
+    Healing must supersede every cell of a changed bucket, not just the
+    touched groups' cells, or a later refresh folds a phantom extremum."""
+    nb = 8
+    rows = [(f"d{i}", "g0", i * 10) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string, val long")
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), df.schema, num_buckets=nb,
+        properties={"key_col": "doc_id"},
+    )
+    src.overwrite_all(df, key_col="doc_id")
+    mv = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["grp"],
+        measures={"n": ("count", None), "mx": ("max", "val")},
+    )
+    assert mv.refresh()["mode"] == "full"
+
+    eng = CDCEngine(spark, src, key="doc_id", order="lsn", count_input=False)
+    sch = "doc_id string, grp string, val long, lsn long, op string"
+    # epoch 1: insert ka into gX with the future phantom max
+    eng.apply_epoch(1, spark.createDataFrame([("ka", "gX", 999, 101, "I")], sch))
+    v_a = src.snapshot.version
+    b_ka = _bucket_of(spark, "ka", nb)
+    # pick a second key whose bucket differs from ka's: the phantom can
+    # only survive the buggy per-touched-group drop if the later refresh
+    # changes a DIFFERENT source bucket
+    kb = next(k for k in (f"kb{i}" for i in range(64)) if _bucket_of(spark, k, nb) != b_ka)
+
+    # crashed refresh over (v0, v_a]: partials committed (cell gX->999),
+    # main rollup write and version pointer never land
+    touched = spark.createDataFrame([("gX",)], "grp string")
+    mv._refresh_partials(touched, [b_ka], v_a)
+
+    # epoch 2: delete ka — over the healing range (v0, v2] the LWW feed
+    # shows ka only as a delete, so gX is never in the touched set
+    eng.apply_epoch(2, spark.createDataFrame([("ka", None, None, 201, "D")], sch))
+    assert mv.refresh()["mode"] == "incremental"
+
+    # epoch 3: gX gets a small value in a DIFFERENT bucket; without the
+    # bucket-scoped healing the stale gX cell folds max(999, 1) = 999
+    eng.apply_epoch(3, spark.createDataFrame([(kb, "gX", 1, 301, "I")], sch))
+    assert mv.refresh()["mode"] == "incremental"
+    got = {r["grp"]: (r["n"], r["mx"]) for r in mv.read().collect()}
+    assert got["gX"] == (1, 1), got
+
+
+def test_shred_emit_changes_with_nondefault_cdc_columns(spark, tmp_path):
+    """ADVICE r4 (shredder.py:112): the tombstone phase builds its frame
+    with the caller's order_col/op_col but previously staged it through
+    hard-coded 'op'/'lsn' defaults — non-default names crashed at the
+    tombstone-partition write. Must shred cleanly and stay feed-derivable."""
+    from bigquery_etl_fork_spark.engine.shredder import shred_keys
+
+    rows = [(f"d{i}", i) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, val long")
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, num_buckets=4,
+        properties={"key_col": "doc_id"},
+    )
+    t.overwrite_all(df, key_col="doc_id")
+    v0 = t.snapshot.version
+    res = shred_keys(
+        spark, t, ["d3", "d7"], key_col="doc_id",
+        order_col="seq", op_col="operation",
+        emit_changes=True, vacuum=False,
+    )
+    assert res.rows_deleted == 2
+    left = {r["doc_id"] for r in t.read(key_col="doc_id", order_col="seq", op_col="operation").collect()}
+    assert "d3" not in left and "d7" not in left and len(left) == 18
+    ch = t.changes(v0, key_col="doc_id", order_col="seq", op_col="operation")
+    dels = {r["doc_id"] for r in ch.where(F.col("operation") == "D").collect()}
+    assert dels == {"d3", "d7"}
+
+
+def test_cow_empty_epoch_keeps_change_feed_derivable(spark, tmp_path):
+    """ADVICE r4 (cdc.py:609): a CoW empty epoch used to commit with the
+    default 'overwrite' op, making changes() raise over any range spanning
+    it. It must commit feed-safe so downstream rollups stay incremental."""
+    rows = [(f"d{i}", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, val long")
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, num_buckets=4,
+        properties={"key_col": "doc_id"},
+    )
+    t.overwrite_all(df, key_col="doc_id")
+    v0 = t.snapshot.version
+    eng = CDCEngine(spark, t, key="doc_id", order="lsn",
+                    storage_mode="cow", count_input=False)
+    sch = "doc_id string, val long, lsn long, op string"
+    eng.apply_epoch(1, spark.createDataFrame([("d1", 100, 101, "U")], sch))
+    eng.apply_epoch(2, spark.createDataFrame([], sch))  # empty epoch
+    eng.apply_epoch(3, spark.createDataFrame([("d2", 200, 301, "U")], sch))
+    ch = t.changes(v0, key_col="doc_id")  # must NOT raise across epoch 2
+    got = {r["doc_id"]: r["val"] for r in ch.collect()}
+    assert got == {"d1": 100, "d2": 200}
+
+
+def test_contaminated_docs_shingles_corpus_once(spark):
+    """VERDICT r4 #5: contaminated_docs used to shingle the corpus twice
+    (its own gram count + contamination_pairs' re-shingle) — two full
+    corpus scans at 100 TB. Pin the single-pass shape: exactly one
+    shingled() call per input relation, and unchanged results."""
+    from bigquery_etl_fork_spark.operators import dedup_text
+
+    corpus = spark.createDataFrame(
+        [
+            (f"c{i}", "the quick brown fox jumps over the lazy dog " + "x" * i)
+            for i in range(4)
+        ]
+        + [("clean", "entirely different words only here")],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    calls = []
+    orig = dedup_text.shingled
+
+    def counting(df, *a, **kw):
+        calls.append(1)
+        return orig(df, *a, **kw)
+
+    dedup_text.shingled = counting
+    try:
+        out = {
+            r["doc_id"]: (r["n_shared_grams"], r["n_bench_examples"], r["contaminated"])
+            for r in dedup_text.contaminated_docs(corpus, bench, n=5).collect()
+        }
+    finally:
+        dedup_text.shingled = orig
+    assert len(calls) == 2, f"corpus or bench shingled more than once: {len(calls)} calls"
+    assert out["clean"] == (0, 0, False)
+    assert out["c0"][0] > 0 and out["c0"][1] == 1 and out["c0"][2]
+
+
+def test_read_keys_zone_map_file_skipping(spark, tmp_path):
+    """VERDICT r4 #6: per-file key min/max recorded at write time prune
+    file lists INSIDE a bucket for key-targeted reads. Bootstrap writes
+    key-clustered base files split by max_file_rows; read(keys=[k]) must
+    skip most files and still return exactly k's resolved row."""
+    rows = [(f"d{i:05d}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id string, val long")
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, num_buckets=2,
+        properties={"key_col": "doc_id", "max_file_rows": 100},
+    )
+    t.overwrite_all(df, key_col="doc_id")
+    n_files = sum(len(v) for v in t.snapshot.buckets.values())
+    assert n_files >= 16, n_files  # max_file_rows split the buckets
+
+    got = t.read(keys=["d00042"], key_col="doc_id").collect()
+    stats = t.last_read_stats
+    assert stats["base_files_kept"] < stats["base_files_total"], stats
+    assert stats["base_files_kept"] <= 2  # ~1 file per bucket range probe
+    full = {r["doc_id"]: r["val"] for r in t.read(key_col="doc_id").collect()}
+    pruned = {r["doc_id"]: r["val"] for r in got}
+    assert pruned["d00042"] == full["d00042"] == 42
+
+
+def test_read_keys_pruning_correct_through_deltas_and_compaction(spark, tmp_path):
+    """Keys-pruned reads must resolve LWW correctly across base + delta
+    files, and compaction must re-establish key clustering (zone maps on
+    compacted runs — the LSM shape)."""
+    rows = [(f"d{i:05d}", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id string, val long")
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, num_buckets=2,
+        properties={"key_col": "doc_id", "max_file_rows": 100},
+    )
+    t.overwrite_all(df, key_col="doc_id")
+    eng = CDCEngine(spark, t, key="doc_id", order="lsn", count_input=False)
+    sch = "doc_id string, val long, lsn long, op string"
+    eng.apply_epoch(1, spark.createDataFrame(
+        [("d00042", 9942, 101, "U"), ("d00043", None, 102, "D")], sch))
+    # pruned read sees the delta update AND the tombstone
+    got = {r["doc_id"]: r["val"]
+           for r in t.read(keys=["d00042", "d00043"], key_col="doc_id").collect()}
+    assert got.get("d00042") == 9942 and "d00043" not in got
+
+    t.compact_buckets(list(range(2)), key_col="doc_id")
+    got2 = {r["doc_id"]: r["val"]
+            for r in t.read(keys=["d00042"], key_col="doc_id").collect()}
+    stats = t.last_read_stats
+    assert got2["d00042"] == 9942
+    assert stats["base_files_kept"] < stats["base_files_total"], stats
+
+
+def test_rollup_retract_read_uses_file_pruning(spark, tmp_path):
+    """The rollup's additive retract must report zone-map file skipping
+    when the changed-key set is bounded — O(files containing changed
+    keys), not O(files in changed buckets)."""
+    rows = [(f"d{i:05d}", f"g{i % 3}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string, val long")
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), df.schema, num_buckets=2,
+        properties={"key_col": "doc_id", "max_file_rows": 100},
+    )
+    src.overwrite_all(df, key_col="doc_id")
+    mv = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["grp"],
+        measures={"n": ("count", None), "total": ("sum", "val")},
+    )
+    assert mv.refresh()["mode"] == "full"
+    eng = CDCEngine(spark, src, key="doc_id", order="lsn", count_input=False)
+    eng.apply_epoch(1, spark.createDataFrame(
+        [("d00042", "g0", 7, 101, "U")],
+        "doc_id string, grp string, val long, lsn long, op string"))
+    res = mv.refresh()
+    assert res["mode"] == "incremental"
+    f = res["src_files"]
+    assert f["base_files_kept"] < f["base_files_total"], f
+    got = {r["grp"]: (r["n"], r["total"]) for r in mv.read().collect()}
+    exp = {r["grp"]: (r["n"], r["total"])
+           for r in src.read(key_col="doc_id").groupBy("grp")
+           .agg(F.count("*").alias("n"), F.sum("val").alias("total")).collect()}
+    assert got == exp
+
+
+def test_rollup_partials_table_stays_bounded(spark, tmp_path):
+    """VERDICT r4 #4b (partials compaction/expiry): with bucket-granular
+    supersede semantics, every refresh that changes a source bucket
+    overwrites that bucket's cells wholesale, so the partials table can
+    never accumulate stale cells — its row count stays exactly the number
+    of LIVE (group, source-bucket) cells. Deleting a group's rows must
+    shrink it; no separate compaction pass is needed."""
+    rows = [(f"d{i:04d}", f"g{i % 4}", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string, val long")
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), df.schema, num_buckets=8,
+        properties={"key_col": "doc_id"},
+    )
+    src.overwrite_all(df, key_col="doc_id")
+    mv = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["grp"],
+        measures={"n": ("count", None), "mx": ("max", "val")},
+    )
+    mv.refresh()
+
+    def live_cells():
+        return (
+            src.read(key_col="doc_id")
+            .groupBy(
+                "grp",
+                F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int").alias("b"),
+            )
+            .count()
+            .count()
+        )
+
+    assert mv.partials.read().count() == live_cells()
+
+    eng = CDCEngine(spark, src, key="doc_id", order="lsn", count_input=False)
+    sch = "doc_id string, grp string, val long, lsn long, op string"
+    # epoch 1: churn updates across every bucket
+    eng.apply_epoch(1, spark.createDataFrame(
+        [(f"d{i:04d}", f"g{i % 4}", i + 1000, 100 + i, "U") for i in range(0, 200, 3)],
+        sch))
+    mv.refresh()
+    assert mv.partials.read().count() == live_cells()
+    # epoch 2: delete g1 entirely — its cells must disappear, not linger
+    eng.apply_epoch(2, spark.createDataFrame(
+        [(f"d{i:04d}", None, None, 500 + i, "D") for i in range(200) if i % 4 == 1],
+        sch))
+    mv.refresh()
+    n_cells = mv.partials.read().count()
+    assert n_cells == live_cells()
+    assert mv.partials.read().where(F.col("grp") == "g1").count() == 0
