@@ -210,8 +210,10 @@ class LakeTable:
     def _entries(self, buckets: list[int] | None, kind: str) -> list[dict[str, Any]]:
         snap = self._snapshot
         sel = [str(b) for b in buckets] if buckets is not None else list(snap.buckets.keys())
+        # shallow copies annotated with their bucket so downstream pruning
+        # can reason per-bucket without mutating manifest state
         return [
-            f
+            {**f, "_bucket": b}
             for b in sel
             for f in snap.buckets.get(b, [])
             if f.get("kind", "base") == kind
@@ -223,22 +225,30 @@ class LakeTable:
 
     @staticmethod
     def _prune_by_keys(
-        entries: list[dict[str, Any]], keys_sorted: list, key_col: str
+        entries: list[dict[str, Any]], key_buckets: dict[str, list], key_col: str
     ) -> list[dict[str, Any]]:
         """Zone-map file skip: keep entries whose recorded [key_min,
-        key_max] may contain one of ``keys_sorted``. Entries without key
-        stats (older files) are always kept — skipping is an optimization,
-        never a correctness bet. Driver-side, manifest-only, no I/O."""
+        key_max] may contain a target key OF THE ENTRY'S OWN BUCKET
+        (``key_buckets`` maps bucket -> sorted target keys; a file's key
+        range only ever holds its bucket's hash-sampled keys, so testing
+        against the global key list would keep nearly everything).
+        Buckets with no target keys are dropped wholesale. Entries without
+        key stats (older files) in a targeted bucket are always kept —
+        skipping is an optimization, never a correctness bet. Driver-side,
+        manifest-only, no I/O."""
         import bisect
 
         out = []
         for e in entries:
+            ks = key_buckets.get(e["_bucket"])
+            if not ks:
+                continue
             lo, hi = e.get(f"{key_col}_min"), e.get(f"{key_col}_max")
             if lo is None or hi is None:
                 out.append(e)
                 continue
-            i = bisect.bisect_left(keys_sorted, lo)
-            if i < len(keys_sorted) and keys_sorted[i] <= hi:
+            i = bisect.bisect_left(ks, lo)
+            if i < len(ks) and ks[i] <= hi:
                 out.append(e)
         return out
 
@@ -303,10 +313,27 @@ class LakeTable:
             kc = key_col or snap.properties.get("key_col")
             if kc is None:
                 raise ValueError("key_col required for keys-pruned reads")
-            ks = sorted(keys)
+            # pruning must be PER BUCKET: file key-ranges are ranges of the
+            # bucket's (hash-sampled) keys, so a file in bucket 7 overlaps
+            # the global key spread even when none of ITS bucket's target
+            # keys fall inside it. One tiny Spark job maps each target key
+            # to its bucket (same xxhash64 the write path uses — a
+            # driver-side reimplementation could silently disagree and
+            # wrongly skip a file, so we ask the JVM).
+            kfield = next(f for f in snap.schema.fields if f.name == kc)
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in keys], T.StructType([kfield])
+            )
+            key_buckets: dict[str, list] = {}
+            for r in kdf.select(
+                kc, bucket_id(F.col(kc), snap.num_buckets).alias("_kb")
+            ).collect():
+                key_buckets.setdefault(str(r["_kb"]), []).append(r[kc])
+            for v in key_buckets.values():
+                v.sort()
             n_base, n_delta = len(base_entries), len(delta_entries)
-            base_entries = self._prune_by_keys(base_entries, ks, kc)
-            delta_entries = self._prune_by_keys(delta_entries, ks, kc)
+            base_entries = self._prune_by_keys(base_entries, key_buckets, kc)
+            delta_entries = self._prune_by_keys(delta_entries, key_buckets, kc)
             self.last_read_stats = {
                 "base_files_total": n_base,
                 "base_files_kept": len(base_entries),

@@ -1412,6 +1412,58 @@ FROM fin
 )
 
 
+def q_keyed_lookup(spark, sf_dir):
+    """Zone-map point lookup (round 5): key-targeted read through
+    ``LakeTable.read(keys=...)`` — per-file key min/max recorded at write
+    time skip files INSIDE the pruned buckets, so fetching a handful of
+    keys from a billion-row table touches ~1 file per key per bucket
+    instead of whole buckets (manifest-only decision, no file I/O). The
+    table is built key-clustered (``max_file_rows`` splits each bucket
+    into several files), one CDC epoch lands on top, and the lookup must
+    resolve LWW across base + delta for exactly the requested keys."""
+    from .engine import CDCEngine
+    from .lake import LakeTable
+
+    base, chg = _cdc_inputs(spark, sf_dir)
+    nd = base.count()
+    ks = sorted({(i * 37 + 11) % nd for i in range(16)})
+    root = tempfile.mkdtemp(prefix="keyed_lookup_")
+    table = LakeTable.create(
+        spark, root + "/t", base.schema, num_buckets=16,
+        properties={"key_col": "doc_id", "max_file_rows": 8},
+    )
+    table.overwrite_all(base, key_col="doc_id")
+    eng = CDCEngine(spark, table, count_input=False)
+    eng.apply_epoch(1, chg.where(F.col("epoch") == 1))
+    st = table.read(keys=ks, key_col="doc_id").where(F.col("doc_id").isin(ks))
+    return st.select(
+        "doc_id",
+        F.array_join(F.transform("tokens", lambda t: t.cast("string")), ",").alias("toks"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+    )
+
+
+SQL_KEYED_LOOKUP = (
+    "WITH "
+    + _SQL_CDC_CTES.replace(
+        "FROM events)",
+        "FROM events\n  WHERE floor(event_id * 4.0 / "
+        "(SELECT max(event_id) + 1 FROM events)) = 0)",
+        1,
+    )
+    + """
+SELECT doc_id,
+       array_to_string(tokens, ',') AS toks,
+       CAST(len(tokens) AS BIGINT) AS n_tok,
+       source
+FROM fin
+WHERE doc_id IN (
+  SELECT (i * 37 + 11) % (SELECT count(*) FROM documents) FROM range(16) t(i))
+"""
+)
+
+
 def q_rollup_incremental(spark, sf_dir):
     """Change-feed-maintained materialized aggregate (engine.rollup.
     IncrementalRollup): replay the CDC epochs and refresh the rollup after
@@ -2278,6 +2330,7 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "stratified_sample": q_stratified_sample,
     "cdc_replay": q_cdc_replay,
+    "keyed_lookup": q_keyed_lookup,
 }
 
 ORACLES = {
@@ -2340,6 +2393,7 @@ ORACLES = {
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "cdc_replay": SQL_CDC_REPLAY,
+    "keyed_lookup": SQL_KEYED_LOOKUP,
 }
 
 # ---------------------------------------------------------------------------
@@ -2361,8 +2415,10 @@ _ROTATED_TO_FRONT = [
     "corpus_prep",
     "train_val_split",
     "stratified_sample",
+    "keyed_lookup",  # NEW round 5: zone-map point lookup
 ]
 _ROTATED_TO_TAIL = [
+    "union_by_name",  # driver-green r2-r4; makes room for keyed_lookup
     "left_outer",
     "right_outer",
     "union_distinct",

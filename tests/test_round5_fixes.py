@@ -331,3 +331,29 @@ def test_rollup_partials_table_stays_bounded(spark, tmp_path):
     n_cells = mv.partials.read().count()
     assert n_cells == live_cells()
     assert mv.partials.read().where(F.col("grp") == "g1").count() == 0
+
+
+def test_read_keys_pruning_is_per_bucket(spark, tmp_path):
+    """The probe-caught defect: file key-ranges hold a bucket's
+    hash-sampled keys, so testing ranges against the GLOBAL target list
+    keeps ~every file once targets spread lexicographically. Per-bucket
+    pruning must keep roughly (keys-per-bucket) files, far fewer than
+    files-per-bucket, for spread-out key sets."""
+    rows = [(f"d{i:06d}", i) for i in range(8000)]
+    df = spark.createDataFrame(rows, "doc_id string, val long")
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, num_buckets=8,
+        properties={"key_col": "doc_id", "max_file_rows": 100},
+    )
+    t.overwrite_all(df, key_col="doc_id")
+    # 8 target keys spread evenly across the lexicographic range: under
+    # global-list pruning every ~1000-row bucket file overlaps some target
+    keys = [f"d{i:06d}" for i in range(0, 8000, 1000)]
+    got = {r["doc_id"] for r in t.read(keys=keys, key_col="doc_id").collect()
+           if r["doc_id"] in set(keys)}
+    stats = t.last_read_stats
+    assert got == set(keys)
+    # 8 keys over 8 buckets ≈ 1 file per targeted bucket; allow slack but
+    # demand real skipping (each bucket holds ~10 files)
+    assert stats["base_files_kept"] <= 2 * len(keys), stats
+    assert stats["base_files_kept"] < stats["base_files_total"] // 3, stats
