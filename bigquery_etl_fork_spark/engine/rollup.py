@@ -112,6 +112,7 @@ class IncrementalRollup:
         # skipping on the retract read; beyond this the collect itself is
         # the cost, so the read falls back to whole changed buckets
         self.keys_prune_limit = 100_000
+        self._last_partials_mode: str | None = None
         expected = self._expected_schema()
         if LakeTable.exists(target_root):
             self.target = LakeTable(spark, target_root)
@@ -359,8 +360,10 @@ class IncrementalRollup:
             # narrower refresh — healing requires superseding the changed
             # buckets' cells regardless of touched (ADVICE r4)
             if src_buckets:
-                minmax = self._refresh_partials(touched, src_buckets, to_v)
+                minmax = self._refresh_partials(touched, src_buckets, from_v, to_v)
         res = self._apply_delta(net, to_v, mode="incremental", minmax=minmax)
+        if minmax is not None:
+            res["partials_mode"] = self._last_partials_mode
         # pruning observability: how much of the source the retract side
         # actually touched (the O(changed buckets) claim, reportable)
         res["src_buckets_scanned"] = len(src_buckets)
@@ -373,28 +376,42 @@ class IncrementalRollup:
         return [a[g].eqNullSafe(b[g]) for g in self.group_cols]
 
     def _refresh_partials(
-        self, touched: DataFrame, src_buckets: list[int], to_v: int
+        self, touched: DataFrame, src_buckets: list[int], from_v: int, to_v: int
     ) -> DataFrame:
-        """Re-derive the partial min/max cells of the changed source
-        buckets from those buckets' state at ``to_v``, fold them into the
-        partials table, and return the touched groups' new FINAL extrema
-        (group_cols + one column per min/max measure + a ``_touched``
-        marker). Idempotent for a closed refresh range, so it safely
-        commits before the main rollup write.
+        """Re-derive the changed-bucket partial min/max cells, fold them
+        into the partials table, and return the touched groups' new FINAL
+        extrema (group_cols + one column per min/max measure + a
+        ``_touched`` marker). Idempotent for a closed refresh range, so it
+        safely commits before the main rollup write.
 
-        Cells are recomputed for ALL groups present in the changed buckets
-        (no touched semi-join) and stale cells are dropped on
-        ``src_bucket IN changed`` alone (ADVICE r4): a crashed refresh can
-        commit a cell for a group that a later, wider range's change feed
-        never surfaces as touched (key inserted then moved/deleted inside
-        the range), so healing must supersede every cell of a changed
-        bucket, not just the touched groups' cells. The recompute input is
-        the changed buckets — which the retract path scans anyway — so
-        this widens only the aggregation, not the read."""
+        Two modes, chosen by crash detection (each partials commit records
+        the range head it was derived for as the ``partials_to_v``
+        property; the main rollup commit then advances the pointer to the
+        same head — so a partials head AHEAD of the current ``from_v``
+        means a prior refresh committed partials but never sealed them):
+
+        - **fast** (clean chain): cells recomputed only for (touched group
+          × changed bucket) — VERDICT r4 #4a's cell-level scoping. Sound
+          because in a sealed chain every cell whose content changes has a
+          changed key contributing a row at ``from_v`` or ``to_v``, whose
+          group is therefore in ``touched`` (a key inserted AND deleted
+          inside the range changes no cell content). No partials scan
+          beyond the touched groups' buckets.
+        - **heal** (crash detected): cells recomputed for ALL groups of
+          the changed buckets and stale cells dropped on bucket membership
+          alone (ADVICE r4) — a crashed run can leave a cell for a group
+          this range's change feed never surfaces, so every cell of a
+          changed bucket is superseded. Costs one full partials scan to
+          locate strays; the partials table is rollup-sized × source
+          buckets, ≪ source."""
         key = self.key_col
         pt = self.partials
+        heal = int(pt.snapshot.properties.get("partials_to_v", -1)) > from_v
+        self._last_partials_mode = "heal" if heal else "fast"
         t = touched.alias("t")
         cur = self.source.read(buckets=src_buckets, key_col=key, at_version=to_v)
+        if not heal:
+            cur = cur.join(t, self._nullsafe_cond(cur, t), "semi")
         cells_new = (
             cur.groupBy(
                 *self.group_cols,
@@ -407,21 +424,21 @@ class IncrementalRollup:
         )
         b_expr = _group_bucket(self.group_cols, pt.num_buckets).alias("b")
         stale = F.col("src_bucket").isin([int(b) for b in src_buckets])
-        # affected partial buckets: groups recomputed now, groups holding a
-        # stale cell for a changed src bucket (found via a full partials
-        # scan — the table is rollup-sized x source buckets, << source),
-        # plus the touched set (the finals fold below must see EVERY cell
-        # of every touched group; all of a group's cells share one partial
-        # bucket since bucketing keys on group_cols)
-        pb_list = sorted(
-            r["b"]
-            for r in cells_new.select(b_expr)
-            .unionByName(pt.read().where(stale).select(b_expr))
-            .unionByName(touched.select(b_expr))
-            .distinct()
-            .collect()
-        )
-        keep = pt.read(buckets=pb_list).where(~stale)
+        pb_cand = cells_new.select(b_expr).unionByName(touched.select(b_expr))
+        if heal:
+            pb_cand = pb_cand.unionByName(pt.read().where(stale).select(b_expr))
+        pb_list = sorted(r["b"] for r in pb_cand.distinct().collect())
+        existing = pt.read(buckets=pb_list)
+        if heal:
+            keep = existing.where(~stale)
+        else:
+            e = existing.alias("e")
+            marked = e.join(
+                t.withColumn("_t", F.lit(True)), self._nullsafe_cond(e, t), "left"
+            ).select("e.*", "_t")
+            keep = marked.where(
+                ~(F.coalesce(F.col("_t"), F.lit(False)) & stale)
+            ).drop("_t")
         new_rows = keep.unionByName(cells_new).localCheckpoint(eager=True)
         pt.overwrite_buckets(
             pb_list,
@@ -429,6 +446,7 @@ class IncrementalRollup:
                 BUCKET_COL, _group_bucket(self.group_cols, pt.num_buckets)
             ),
             key_col=self.group_cols[0],
+            properties_update={"partials_to_v": to_v},
             commit_op="rollup",
         )
         nr = new_rows.alias("n")
@@ -569,6 +587,7 @@ class IncrementalRollup:
                     BUCKET_COL, _group_bucket(self.group_cols, pt.num_buckets)
                 ),
                 key_col=self.group_cols[0],
+                properties_update={"partials_to_v": to_v},
                 commit_op="rollup",
             )
         full = state.groupBy(*self.group_cols).agg(

@@ -100,6 +100,19 @@ def shred_keys(
     buckets_rewritten = 0
     delta_counts = table.delta_file_counts(affected)
     pre_tomb_version = table.snapshot.version
+    # For a bounded key set, count the doomed rows ONCE via a zone-map-
+    # pruned read (O(files containing the keys)) instead of per-group
+    # whole-bucket before/after counts (O(affected bucket rows)) — the
+    # GDPR request shape is thousands of keys against billions of rows,
+    # so the accounting job should not dominate the delete (round 5).
+    direct_deleted = None
+    if emit_changes and n_keys <= 100_000:
+        klist = [r[0] for r in keys.collect()]
+        pre = table.read(
+            affected, key_col=key_col, order_col=order_col, op_col=op_col,
+            keys=klist,
+        )
+        direct_deleted = pre.join(keys, key_col, "semi").count()
     if emit_changes:
         # phase 1: one atomic tombstone-delta commit covering every key —
         # the logical delete, derivable via changes() as op='D' retracts
@@ -128,11 +141,15 @@ def shred_keys(
     for i in range(0, len(affected), max_buckets_per_task):
         group = affected[i : i + max_buckets_per_task]
         if emit_changes:
-            # accounting reads the PRE-tombstone resolved view for `before`
-            before = table.read(
-                group, key_col=key_col, order_col=order_col, op_col=op_col,
-                at_version=pre_tomb_version,
-            ).count()
+            if direct_deleted is None:
+                # unbounded key set: accounting reads the PRE-tombstone
+                # resolved view for `before`
+                before = table.read(
+                    group, key_col=key_col, order_col=order_col, op_col=op_col,
+                    at_version=pre_tomb_version,
+                ).count()
+            else:
+                before = 0  # deletions counted once, zone-map-pruned
             # phase 2: physical removal — compaction resolves the tombstones
             # away and rewrites base files; 'compact' is row-preserving so
             # the feed over this range stays derivable
@@ -178,7 +195,9 @@ def shred_keys(
     else:
         removed = 0
     return ShredResult(
-        rows_deleted=rows_before - rows_after,
+        rows_deleted=(
+            direct_deleted if direct_deleted is not None else rows_before - rows_after
+        ),
         buckets_rewritten=buckets_rewritten,
         files_vacuumed=removed,
         seconds=round(time.time() - t0, 3),

@@ -94,17 +94,23 @@ def test_rollup_minmax_crashed_partials_cell_is_superseded(spark, tmp_path):
     # crashed refresh over (v0, v_a]: partials committed (cell gX->999),
     # main rollup write and version pointer never land
     touched = spark.createDataFrame([("gX",)], "grp string")
-    mv._refresh_partials(touched, [b_ka], v_a)
+    mv._refresh_partials(touched, [b_ka], mv.last_source_version, v_a)
 
     # epoch 2: delete ka — over the healing range (v0, v2] the LWW feed
     # shows ka only as a delete, so gX is never in the touched set
     eng.apply_epoch(2, spark.createDataFrame([("ka", None, None, 201, "D")], sch))
-    assert mv.refresh()["mode"] == "incremental"
+    res = mv.refresh()
+    assert res["mode"] == "incremental"
+    # the unsealed partials commit must be detected -> heal mode
+    assert res["partials_mode"] == "heal", res
 
     # epoch 3: gX gets a small value in a DIFFERENT bucket; without the
     # bucket-scoped healing the stale gX cell folds max(999, 1) = 999
     eng.apply_epoch(3, spark.createDataFrame([(kb, "gX", 1, 301, "I")], sch))
-    assert mv.refresh()["mode"] == "incremental"
+    res = mv.refresh()
+    assert res["mode"] == "incremental"
+    # chain sealed again -> the cheap cell-scoped path resumes
+    assert res["partials_mode"] == "fast", res
     got = {r["grp"]: (r["n"], r["mx"]) for r in mv.read().collect()}
     assert got["gX"] == (1, 1), got
 
@@ -357,3 +363,34 @@ def test_read_keys_pruning_is_per_bucket(spark, tmp_path):
     # demand real skipping (each bucket holds ~10 files)
     assert stats["base_files_kept"] <= 2 * len(keys), stats
     assert stats["base_files_kept"] < stats["base_files_total"] // 3, stats
+
+
+def test_shred_accounting_uses_pruned_direct_count(spark, tmp_path):
+    """Round 5: for bounded key sets the shredder counts doomed rows once
+    via a zone-map-pruned read instead of per-group whole-bucket
+    before/after counts. The reported rows_deleted must stay exact on a
+    clustered multi-file table, including keys that appear only in deltas
+    or not at all."""
+    from bigquery_etl_fork_spark.engine.shredder import shred_keys
+
+    rows = [(f"d{i:05d}", i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id string, val long")
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, num_buckets=4,
+        properties={"key_col": "doc_id", "max_file_rows": 200},
+    )
+    t.overwrite_all(df, key_col="doc_id")
+    eng = CDCEngine(spark, t, key="doc_id", order="lsn", count_input=False)
+    sch = "doc_id string, val long, lsn long, op string"
+    # delta-only insert dnew + delete of d00100 before the shred
+    eng.apply_epoch(1, spark.createDataFrame(
+        [("dnew01", 1, 101, "I"), ("d00100", None, 102, "D")], sch))
+
+    targets = ["d00042", "d00777", "dnew01", "d00100", "dzzzzz"]
+    # d00100 already deleted, dzzzzz never existed -> 3 real deletions
+    res = shred_keys(spark, t, targets, key_col="doc_id",
+                     emit_changes=True, vacuum=False)
+    assert res.rows_deleted == 3, res
+    left = {r["doc_id"] for r in t.read(key_col="doc_id").collect()}
+    assert not (set(targets) & left)
+    assert len(left) == 3000 + 1 - 1 - 3  # base + insert - pre-delete - shred
