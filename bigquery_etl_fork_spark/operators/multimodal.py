@@ -12,12 +12,15 @@ uncompressed public formats — pure numpy, no external codec libraries:
 - PNG images (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced): chunk walk,
   stdlib ``zlib`` inflate, full scanline unfiltering (filter types 0-4
   incl. Paeth) — a REAL compressed codec with zero external dependencies;
+- baseline sequential JPEG (SOF0; 4:4:4 / 4:2:0, restart intervals, any
+  DHT/DQT the stream declares) via the pure-numpy entropy decoder in
+  ``operators/jpeg.py`` — huffman + dequant + IDCT, fixture-tested
+  against analytically exact DCT cases (round 5);
 - the deterministic ``MM01`` fake format (``synth_media_table``) kept for
   plumbing tests.
 
-Entropy-coded formats whose codecs are not in the standard library
-(JPEG/MP3/...) are the only gated path: they need Pillow/torchaudio,
-absent in this environment, so they raise ``NotImplementedError`` until
+Still gated: progressive/arithmetic JPEG, MP3 and other perceptual audio
+codecs — those raise ``NotImplementedError`` until Pillow/torchaudio are
 installed.
 
 Fake blob layout (little-endian): magic ``MM01`` | u16 width | u16 height |
@@ -223,6 +226,31 @@ def synth_png(
     )
 
 
+def synth_jpeg(
+    w: int,
+    h: int,
+    channels: int = 3,
+    seed: int = 0,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> tuple[bytes, np.ndarray]:
+    """A valid baseline sequential JPEG with random pixels, encoded with
+    an all-ones quant table (bounded |Δ|≤2 reconstruction). Returns
+    (blob, source_pixels) so tests can assert against the pre-encode
+    array."""
+    from .jpeg import encode_baseline_jpeg
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, 3)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    return (
+        encode_baseline_jpeg(
+            px, quant=1, subsampling=subsampling, restart_interval=restart_interval
+        ),
+        px,
+    )
+
+
 def _parse_png(blob: bytes) -> tuple[int, int, int, float, bool]:
     """PNG: chunk walk -> IHDR dims -> zlib-inflate the IDAT stream ->
     unfilter every scanline (types 0-4). 8-bit non-interlaced gray /
@@ -362,12 +390,18 @@ def _decode_blob(blob: bytes) -> tuple[int, int, int, float, bool]:
         return _parse_wav(blob)
     if blob[: len(_PNG_SIG)] == _PNG_SIG:
         return _parse_png(blob)
+    if blob[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_baseline_jpeg
+
+        arr = decode_baseline_jpeg(bytes(blob))
+        c = 1 if arr.ndim == 2 else int(arr.shape[2])
+        return int(arr.shape[1]), int(arr.shape[0]), c, float(arr.mean()), True
     try:
         import PIL  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "entropy-coded decode (JPEG/MP3/...) requires Pillow/torchaudio; "
-            "netpbm/WAV/PNG/fake blobs decode natively in this environment"
+            "perceptual-audio decode (MP3/...) requires torchaudio; "
+            "netpbm/WAV/PNG/baseline-JPEG/fake blobs decode natively here"
         ) from None
     raise NotImplementedError("entropy-coded decode path not implemented")
 

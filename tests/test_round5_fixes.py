@@ -394,3 +394,29 @@ def test_shred_accounting_uses_pruned_direct_count(spark, tmp_path):
     left = {r["doc_id"] for r in t.read(key_col="doc_id").collect()}
     assert not (set(targets) & left)
     assert len(left) == 3000 + 1 - 1 - 3  # base + insert - pre-delete - shred
+
+
+def test_decode_media_handles_jpeg_blobs(spark):
+    """Round 5: baseline JPEG joins the natively-decoded formats — the
+    Arrow-batched decode_media kernel must extract dims + mean from real
+    entropy-coded JPEG bytes (444, 420, restart intervals) with no
+    external codec library."""
+    from bigquery_etl_fork_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        synth_jpeg,
+    )
+
+    cases = [(24, 16, 1, "444", 0), (16, 16, 3, "444", 2), (32, 16, 3, "420", 0)]
+    rows, means = [], {}
+    for i, (w, h, ch, sub, ri) in enumerate(cases):
+        blob, px = synth_jpeg(w, h, ch, seed=i, subsampling=sub, restart_interval=ri)
+        rows.append((i, "image", bytearray(blob), (w, h, ch, len(blob))))
+        means[i] = float(px.mean())
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    for i, (w, h, ch, _sub, _ri) in enumerate(cases):
+        r = out[i]
+        assert r["ok"], r
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch), r
+        assert abs(r["mean_intensity"] - means[i]) <= 2.0, (r, means[i])
