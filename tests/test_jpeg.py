@@ -93,3 +93,34 @@ def test_unsupported_paths_raise():
         decode_baseline_jpeg(bytes(blob))
     with pytest.raises(NotImplementedError, match="SOI"):
         decode_baseline_jpeg(b"\x00\x01")
+
+
+def test_property_roundtrip_bounded_error_sweep():
+    """Property sweep (seeded, deterministic): any uint8 content, any of
+    the supported layouts, encode→decode stays within the analytic error
+    bound (gray ≤1, RGB ≤2 via the color-transform amplification)."""
+    rng = np.random.default_rng(42)
+    for trial in range(12):
+        h = int(rng.integers(1, 41))
+        w = int(rng.integers(1, 41))
+        gray = bool(rng.integers(0, 2))
+        ri = int(rng.integers(0, 4))
+        if gray:
+            a = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            bound, sub = 1, "444"
+        elif rng.integers(0, 2):
+            # 4:2:0's 2x2 chroma averaging is only analytically invertible
+            # for chroma constant within each MCU: random color per 16x16
+            # tile (averaging lossless, per-channel bound holds)
+            sub, bound = "420", 2
+            th, tw = -(-h // 16), -(-w // 16)
+            tiles = rng.integers(0, 256, (th, tw, 3), dtype=np.uint8)
+            a = np.kron(tiles, np.ones((16, 16, 1), np.uint8))[:h, :w]
+        else:
+            a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            sub, bound = "444", 2
+        blob = encode_baseline_jpeg(a, quant=1, subsampling=sub, restart_interval=ri)
+        d = decode_baseline_jpeg(blob)
+        assert d.shape == a.shape, (trial, h, w, gray, sub, ri)
+        err = int(np.abs(d.astype(int) - a.astype(int)).max())
+        assert err <= bound, (trial, h, w, gray, sub, ri, err)

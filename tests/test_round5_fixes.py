@@ -420,3 +420,43 @@ def test_decode_media_handles_jpeg_blobs(spark):
         assert r["ok"], r
         assert (r["width"], r["height"], r["channels"]) == (w, h, ch), r
         assert abs(r["mean_intensity"] - means[i]) <= 2.0, (r, means[i])
+
+
+def test_property_keys_pruned_read_equals_full_read(spark, tmp_path):
+    """Property sweep: for ANY target key set (present, delta-updated,
+    tombstoned, or absent), read(keys=ks) restricted to ks must equal the
+    unpruned read restricted to ks — file skipping is an optimization,
+    never a semantics change."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(f"d{i:05d}", i) for i in range(1200)]
+    df = spark.createDataFrame(rows, "doc_id string, val long")
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, num_buckets=4,
+        properties={"key_col": "doc_id", "max_file_rows": 64},
+    )
+    t.overwrite_all(df, key_col="doc_id")
+    eng = CDCEngine(spark, t, key="doc_id", order="lsn", count_input=False)
+    sch = "doc_id string, val long, lsn long, op string"
+    # epoch of updates + deletes + delta-only inserts across the keyspace
+    delta = (
+        [(f"d{rnd.randrange(1200):05d}", 10_000 + i, 100 + i, "U") for i in range(60)]
+        + [(f"d{rnd.randrange(1200):05d}", None, 500 + i, "D") for i in range(20)]
+        + [(f"x{i:05d}", 90_000 + i, 900 + i, "I") for i in range(10)]
+    )
+    eng.apply_epoch(1, spark.createDataFrame(delta, sch))
+
+    full = {r["doc_id"]: r["val"] for r in t.read(key_col="doc_id").collect()}
+    for trial in range(5):
+        ks = sorted(
+            {f"d{rnd.randrange(1400):05d}" for _ in range(rnd.randrange(1, 25))}
+            | {f"x{rnd.randrange(12):05d}" for _ in range(rnd.randrange(0, 3))}
+        )
+        got = {
+            r["doc_id"]: r["val"]
+            for r in t.read(keys=ks, key_col="doc_id").collect()
+            if r["doc_id"] in set(ks)
+        }
+        exp = {k: full[k] for k in ks if k in full}
+        assert got == exp, (trial, ks, got, exp)
