@@ -283,6 +283,15 @@ class IncrementalRollup:
                 "at a different table?"
             )
         try:
+            if self.source.snapshot_at(from_v).num_buckets != self.source.num_buckets:
+                # bucket-count evolution (rebucket) inside the range: the
+                # changed-bucket ids this refresh would compute — and every
+                # stored extrema partials cell's ``src_bucket`` — are in the
+                # OLD bucket space, so neither the time-travel retract read
+                # nor the partials supersede can be trusted. Recompute from
+                # current state; _full_recompute rewrites ALL partials
+                # buckets, superseding every old-space cell.
+                return self._full_recompute(to_v)
             ch = self.source.changes(from_v, to_v, key_col=self.key_col)
         except (ValueError, FileNotFoundError):
             # ValueError: range contains an overwrite/promote commit (feed

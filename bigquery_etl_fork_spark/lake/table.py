@@ -57,6 +57,52 @@ class CommitConflict(RuntimeError):
     concurrency loss); refresh and retry."""
 
 
+_BLOOM_SIDECAR = "_blooms.json"
+
+
+def _bloom_hashes(value: Any, k: int, m: int) -> list[int]:
+    """k bit positions for a key value via double hashing over md5.
+
+    Values are normalized through ``str(...)`` so the build side (Python
+    values read back from Parquet) and the probe side (caller-passed key
+    lists) agree for int and string keys — the only key types the engine
+    buckets on."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values: list[Any]) -> dict[str, Any]:
+    """Build a per-file key bloom: ~10 bits per distinct key (power-of-two
+    m in [1024, 131072] bits), k=4 probes → false-positive rate ≈ 1e-2 at
+    the design point, 0 false negatives by construction. Serialized
+    little-endian base64 so the sidecar stays valid JSON."""
+    import base64
+
+    distinct = set(values)
+    n = max(len(distinct), 1)
+    m = 1024
+    while m < 10 * n and m < 131072:
+        m *= 2
+    k = 4
+    bits = 0
+    for v in distinct:
+        for pos in _bloom_hashes(v, k, m):
+            bits |= 1 << pos
+    b64 = base64.b64encode(bits.to_bytes(m // 8, "little")).decode("ascii")
+    return {"m": m, "k": k, "bits": b64}
+
+
+def _bloom_maybe_contains(bloom: dict[str, Any], value: Any) -> bool:
+    import base64
+
+    bits = int.from_bytes(base64.b64decode(bloom["bits"]), "little")
+    return all((bits >> pos) & 1 for pos in _bloom_hashes(value, bloom["k"], bloom["m"]))
+
+
 def bucket_id(col: F.Column, num_buckets: int) -> F.Column:
     """Stable bucket of a key column: pmod(xxhash64(key), N).
 
@@ -117,6 +163,9 @@ class LakeTable:
         self._snapshot = self._load_latest()
         # observability for keys-pruned reads (set by read(keys=...))
         self.last_read_stats: dict[str, int] | None = None
+        # _blooms.json sidecar cache (sidecar path -> parsed content);
+        # sidecars are immutable once written, so the cache never staleness
+        self._bloom_cache: dict[str, dict[str, Any]] = {}
 
     # ---------------- creation / loading ----------------
 
@@ -252,6 +301,43 @@ class LakeTable:
                 out.append(e)
         return out
 
+    def _bloom_for(self, entry: dict[str, Any]) -> dict[str, Any] | None:
+        """Load the bloom recorded for a manifest entry from its commit
+        dir's ``_blooms.json`` sidecar (cached per sidecar). Returns None
+        when no bloom exists — callers must then keep the file."""
+        if not entry.get("bloom"):
+            return None
+        abs_fp = os.path.join(self.root, entry["path"])
+        d = os.path.dirname(abs_fp)
+        for _ in range(4):
+            sc = os.path.join(d, _BLOOM_SIDECAR)
+            if sc in self._bloom_cache or os.path.exists(sc):
+                if sc not in self._bloom_cache:
+                    with open(sc) as fh:
+                        self._bloom_cache[sc] = json.load(fh)
+                return self._bloom_cache[sc].get(os.path.relpath(abs_fp, d))
+            d = os.path.dirname(d)
+        return None
+
+    def _prune_by_bloom(
+        self, entries: list[dict[str, Any]], key_buckets: dict[str, list]
+    ) -> list[dict[str, Any]]:
+        """Bloom file skip: drop entries whose per-file key bloom proves
+        none of THE ENTRY'S BUCKET's target keys are present. Runs after
+        zone-map pruning, so it only pays sidecar loads for files the range
+        check could not eliminate — exactly the not-key-clustered delta
+        files whose min/max spans the bucket. False positives keep a file
+        (harmless); absence of a bloom keeps the file (skipping is an
+        optimization, never a correctness bet)."""
+        out = []
+        for e in entries:
+            bloom = self._bloom_for(e)
+            if bloom is None or any(
+                _bloom_maybe_contains(bloom, k) for k in key_buckets.get(e["_bucket"], [])
+            ):
+                out.append(e)
+        return out
+
     def snapshot_at(self, version: int) -> Snapshot:
         """Load a historical snapshot (time travel; files must not have been
         vacuumed since)."""
@@ -334,11 +420,16 @@ class LakeTable:
             n_base, n_delta = len(base_entries), len(delta_entries)
             base_entries = self._prune_by_keys(base_entries, key_buckets, kc)
             delta_entries = self._prune_by_keys(delta_entries, key_buckets, kc)
+            n_base_zone, n_delta_zone = len(base_entries), len(delta_entries)
+            base_entries = self._prune_by_bloom(base_entries, key_buckets)
+            delta_entries = self._prune_by_bloom(delta_entries, key_buckets)
             self.last_read_stats = {
                 "base_files_total": n_base,
                 "base_files_kept": len(base_entries),
                 "delta_files_total": n_delta,
                 "delta_files_kept": len(delta_entries),
+                "base_files_bloom_skipped": n_base_zone - len(base_entries),
+                "delta_files_bloom_skipped": n_delta_zone - len(delta_entries),
             }
         base = self._read_files(self._sid_paths(base_entries), target)
         if not delta_entries:
@@ -392,14 +483,29 @@ class LakeTable:
     # ---------------- write path ----------------
 
     def _stats_for_dir(
-        self, commit_dir: str, stats_cols: list[str] | None = None
+        self,
+        commit_dir: str,
+        stats_cols: list[str] | None = None,
+        bloom_col: str | None = None,
     ) -> dict[str, list[dict[str, Any]]]:
         """Walk a freshly written partitioned dir (``_b=NN[/_t=x]``); collect
         per-file row/byte stats — and, for each of ``stats_cols``, that
         column's min/max from Parquet footer statistics — all driver-side,
         no Spark job. Recorded ranges are the manifest-level zone maps
         ``read_deltas_since`` (lsn) and ``read(keys=...)`` (key) skip
-        files by."""
+        files by.
+
+        ``bloom_col`` additionally builds a per-file key bloom filter (the
+        zone-map complement for files that are NOT key-clustered — an
+        epoch's delta files are lsn-sorted, so their key min/max spans the
+        whole bucket and range pruning keeps them all, while a bloom still
+        skips them for keys they don't hold). Blooms are written to a
+        ``_blooms.json`` sidecar inside the commit dir — Iceberg-puffin
+        style — NOT into the snapshot, so manifest size and commit/planning
+        latency are unaffected; the manifest entry carries only a
+        ``bloom: true`` flag. Building reads the key column of each fresh
+        file once (driver-side here; on a real cluster this fold belongs in
+        the write job's executors — the sidecar contract is unchanged)."""
         todo: list[tuple[str, dict, str]] = []
         for dirpath, _dn, filenames in os.walk(commit_dir):
             parts = {}
@@ -442,12 +548,28 @@ class LakeTable:
                             hi = mx if hi is None else max(hi, mx)
                     rec[f"{col}_min"] = lo
                     rec[f"{col}_max"] = hi
-            return b, rec
+            bloom = None
+            if bloom_col is not None:
+                vals = pq.read_table(fp, columns=[bloom_col]).column(0).to_pylist()
+                bloom = _bloom_build(vals)
+                rec["bloom"] = True
+            return b, rec, bloom
 
         out: dict[str, list[dict[str, Any]]] = {}
+        sidecar: dict[str, dict[str, Any]] = {}
         with ThreadPoolExecutor(max_workers=16) as ex:
-            for b, rec in ex.map(stat_one, todo):
+            for b, rec, bloom in ex.map(stat_one, todo):
                 out.setdefault(b, []).append(rec)
+                if bloom is not None:
+                    # keyed by path relative to the commit dir (basenames
+                    # repeat across _b= subdirs when one task writes several
+                    # buckets); commit-dir-relative keys survive clone_at's
+                    # path absolutization
+                    abs_fp = os.path.join(self.root, rec["path"])
+                    sidecar[os.path.relpath(abs_fp, commit_dir)] = bloom
+        if sidecar:
+            with open(os.path.join(commit_dir, _BLOOM_SIDECAR), "w") as fh:
+                json.dump(sidecar, fh)
         return out
 
     def _write_data(
@@ -458,6 +580,7 @@ class LakeTable:
         partition_cols: list[str] | None = None,
         stats_cols: list[str] | None = None,
         sort_col: str | None = None,
+        bloom_col: str | None = None,
     ) -> tuple[str, dict]:
         """Write df (optionally adding the bucket column from key_col) into a
         fresh commit dir, partitioned by bucket. Returns (commit_id, stats).
@@ -493,7 +616,9 @@ class LakeTable:
         if max_rows:
             writer = writer.option("maxRecordsPerFile", int(max_rows))
         writer.partitionBy(*partition_cols).parquet(commit_dir)
-        return commit_id, self._stats_for_dir(commit_dir, stats_cols=stats_cols)
+        return commit_id, self._stats_for_dir(
+            commit_dir, stats_cols=stats_cols, bloom_col=bloom_col
+        )
 
     @staticmethod
     def _write_snapshot(root: str, snap: Snapshot) -> None:
@@ -533,6 +658,7 @@ class LakeTable:
         aux_schema: T.StructType | None = None,
         commit_op: str = "overwrite",
         changelog: dict[str, Any] | None = None,
+        num_buckets: int | None = None,
     ) -> Snapshot:
         prev = self._snapshot
         schemas = dict(prev.schemas)
@@ -552,10 +678,17 @@ class LakeTable:
                 hit = str(max(int(k) for k in schemas) + 1)
                 schemas[hit] = aux_json
             entry_sid = int(hit)
-        buckets = {k: list(v) for k, v in prev.buckets.items()}
-        if replaced_buckets is not None:
-            for b in replaced_buckets:
-                buckets[str(b)] = []
+        if num_buckets is not None:
+            # bucket-count evolution: the commit carries a FRESH bucket map
+            # under the new count (every prior file is superseded)
+            buckets: dict[str, list[dict[str, Any]]] = {
+                str(b): [] for b in range(num_buckets)
+            }
+        else:
+            buckets = {k: list(v) for k, v in prev.buckets.items()}
+            if replaced_buckets is not None:
+                for b in replaced_buckets:
+                    buckets[str(b)] = []
         for b, files in new_buckets.items():
             buckets.setdefault(b, [])
             buckets[b] = buckets[b] + [
@@ -582,7 +715,7 @@ class LakeTable:
             version=prev.version + 1,
             schema_id=schema_id,
             schemas=schemas,
-            num_buckets=prev.num_buckets,
+            num_buckets=num_buckets if num_buckets is not None else prev.num_buckets,
             buckets=buckets,
             properties=props,
             lineage=list(lineage or []),
@@ -707,6 +840,13 @@ class LakeTable:
             # so even unsorted their key range is often narrow
             stats_cols=[order_col, key_col],
             pre_clustered=pre_clustered,
+            # opt-in per-file key blooms: delta files are lsn-sorted, so
+            # their key zone maps rarely prune; a bloom makes key-targeted
+            # reads (shredder deletes, rollup retracts) skip whole epochs
+            # that never touched the key. Off by default — the CDC hot
+            # path shouldn't pay the build read unless the table's
+            # read pattern wants it.
+            bloom_col=key_col if self._snapshot.properties.get("delta_key_bloom") else None,
         )
         return {
             "stats": stats,
@@ -836,6 +976,85 @@ class LakeTable:
             cluster_by_key=True,
         )
 
+    def rebucket(
+        self,
+        new_num_buckets: int,
+        key_col: str | None = None,
+        order_col: str = "lsn",
+        op_col: str = "op",
+    ) -> Snapshot:
+        """Grow the bucket count in place (bucket-count evolution — the
+        Iceberg partition-evolution analog for the bucket transform). A
+        table created at 64 buckets that has grown 100× needs more write
+        parallelism and finer rewrite units; this re-lays the table out
+        under ``new_num_buckets`` WITHOUT a shuffle.
+
+        Why shuffle-free: buckets are ``pmod(xxhash64(key), N)``. With
+        ``new = m * old``, a key in old bucket ``b`` (``h % old == b``)
+        lands in one of exactly m new buckets ``{b, b+old, …,
+        b+(m-1)*old}`` — every old bucket splits LOCALLY into m new ones,
+        so the rewrite is a straight scan: each input task reads files of
+        one old bucket and writes at most m partition dirs
+        (``pre_clustered=True``; the same per-task locality a 1000-executor
+        cluster keeps). Rows are re-sorted per task by key, so the new
+        base files carry key zone maps and stay clustered for
+        ``read(keys=...)`` pruning.
+
+        Buckets holding merge-on-read delta files are compacted first
+        (bucket-granular, the existing primitive) so exactly one
+        generation of base files is rewritten. The commit publishes a
+        fresh bucket map atomically under ``commit_op='rebucket'`` —
+        readers before the swap plan old buckets, readers after plan new
+        ones, and ``changes()`` treats it like a compaction (no logical
+        row changed). Downstream consumers that cached bucket ids against
+        the old count must rebind (``IncrementalRollup`` detects the count
+        change and rebuilds its extrema partials).
+
+        Shrinking (``old % new == 0``) would be just as local — m old
+        buckets union into one new — but growth is the case tables hit in
+        practice, so only growth is implemented."""
+        old = self.num_buckets
+        if new_num_buckets <= old or new_num_buckets % old != 0:
+            raise ValueError(
+                f"new_num_buckets must be an integer multiple > current "
+                f"({old}); got {new_num_buckets}"
+            )
+        if key_col is None:
+            key_col = self._snapshot.properties.get("key_col")
+        if key_col is None:
+            raise ValueError("key_col required to rebucket")
+        with_deltas = [b for b, n in self.delta_file_counts().items() if n > 0]
+        if with_deltas:
+            self.compact_buckets(with_deltas, key_col, order_col=order_col, op_col=op_col)
+        base = self._read_files(
+            self._sid_paths(self._entries(None, "base")), self._snapshot.schema
+        )
+        if base is None:
+            return self._commit(
+                {}, None, None, None, None,
+                commit_op="rebucket", num_buckets=new_num_buckets,
+            )
+        df = base.withColumn(BUCKET_COL, bucket_id(F.col(key_col), new_num_buckets))
+        prev_nb = self.num_buckets
+        _, stats = self._write_data(
+            df,
+            key_col,
+            pre_clustered=True,  # old bucket b fans out to ≤ m new dirs per task
+            stats_cols=[key_col],
+            sort_col=key_col,
+        )
+        lineage = [{
+            "op": "rebucket",
+            "from_buckets": prev_nb,
+            "to_buckets": new_num_buckets,
+            "rows_written": sum(f["rows"] for fs in stats.values() for f in fs),
+            "bytes_written": sum(f["bytes"] for fs in stats.values() for f in fs),
+        }]
+        return self._commit(
+            stats, None, None, None, lineage,
+            commit_op="rebucket", num_buckets=new_num_buckets,
+        )
+
     def evolve_schema(self, new_schema: T.StructType) -> Snapshot:
         """Metadata-only commit applying an additive/widening schema change
         (≈ Iceberg ALTER TABLE ADD COLUMN / ALTER COLUMN TYPE; reference
@@ -889,12 +1108,12 @@ class LakeTable:
             # allowlist of feed-safe ops: 'delta' adds the log rows the
             # feed is built from; 'merge' is a copy-on-write rewrite that
             # attached its row-level changes as changelog sidecar files;
-            # 'compact' rewrites files without changing any row; 'schema'
-            # changes no rows. Anything else ('overwrite', 'promote',
-            # 'rollup', future ops) replaced bucket state with base files
-            # outside the delta log, so the feed cannot be derived — raise
-            # rather than emit a silently incomplete feed.
-            if snap_v.commit_op not in ("delta", "merge", "compact", "schema"):
+            # 'compact' and 'rebucket' rewrite files without changing any
+            # row; 'schema' changes no rows. Anything else ('overwrite',
+            # 'promote', 'rollup', future ops) replaced bucket state with
+            # base files outside the delta log, so the feed cannot be
+            # derived — raise rather than emit a silently incomplete feed.
+            if snap_v.commit_op not in ("delta", "merge", "compact", "schema", "rebucket"):
                 raise ValueError(
                     f"change feed over ({from_version}, {to_version}] is not "
                     f"derivable: version {v} is a '{snap_v.commit_op}' commit "
@@ -1012,7 +1231,10 @@ class LakeTable:
                     os.link(sp, dst)
                 except OSError:
                     shutil.copy2(sp, dst)
-                out.append({**f, "path": rel})
+                # promotion flattens the commit layout, so staging bloom
+                # sidecars are left behind — drop the flag (readers then
+                # keep the file instead of probing for a sidecar in vain)
+                out.append({**{k: v for k, v in f.items() if k != "bloom"}, "path": rel})
             adopted[b] = out
         prev = self._snapshot
         snap = Snapshot(
@@ -1074,13 +1296,19 @@ class LakeTable:
             for files in snap.buckets.values()
             for f in files
         }
-        removed = 0
         data_root = os.path.join(self.root, _DATA_DIR)
+        live_commit_dirs = {p[: p.index(os.sep, len(data_root) + 1)]
+                            for p in live
+                            if p.startswith(data_root + os.sep)
+                            and p.count(os.sep) > data_root.count(os.sep) + 1}
+        removed = 0
         for dirpath, _dirnames, filenames in os.walk(data_root):
             for fn in filenames:
                 fp = os.path.join(dirpath, fn)
                 if fp in live:
                     continue
+                if fn == _BLOOM_SIDECAR and dirpath in live_commit_dirs:
+                    continue  # sidecar of a commit with live files stays
                 if fn.endswith(".parquet"):
                     os.remove(fp)
                     removed += 1  # only data files count

@@ -1475,6 +1475,44 @@ WHERE doc_id IN (
 )
 
 
+def q_rebucket_replay(spark, sf_dir):
+    """Bucket-count evolution under live ingest (round 5):
+    ``LakeTable.rebucket`` grows the hash-bucket count 16→64 BETWEEN CDC
+    epochs — the Iceberg partition-evolution analog for the bucket
+    transform (the reference's fixed 0-99 ``sample_id`` split,
+    ``sql/.../udf_js/sample_id``, has no growth path; a lake table that
+    outgrows its bucket count needs one). Because buckets are
+    ``pmod(xxhash64(key), N)`` and 64 = 4×16, each old bucket splits
+    LOCALLY into 4 new ones: the relayout is a shuffle-free scan (plan
+    pinned in tests), committed as one atomic snapshot swap that changes
+    no logical row. Epochs 3-4 then apply under the new count, and the
+    final state must be byte-identical to an uninterrupted replay — the
+    oracle is the same LWW SQL as ``cdc_replay``."""
+    from .engine import CDCEngine
+    from .lake import LakeTable
+
+    base, chg = _cdc_inputs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="rebucket_replay_") + "/t"
+    table = LakeTable.create(
+        spark, root, base.schema, num_buckets=16,
+        properties={"key_col": "doc_id"},
+    )
+    table.overwrite_all(base, key_col="doc_id")
+    eng = CDCEngine(spark, table, count_input=False)
+    for e in (1, 2):
+        eng.apply_epoch(e, chg.where(F.col("epoch") == e))
+    table.rebucket(64)
+    for e in (3, 4):
+        eng.apply_epoch(e, chg.where(F.col("epoch") == e))
+    st = table.read()
+    return st.select(
+        "doc_id",
+        F.array_join(F.transform("tokens", lambda t: t.cast("string")), ",").alias("toks"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+    )
+
+
 def q_rollup_incremental(spark, sf_dir):
     """Change-feed-maintained materialized aggregate (engine.rollup.
     IncrementalRollup): replay the CDC epochs and refresh the rollup after
@@ -2342,6 +2380,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "cdc_replay": q_cdc_replay,
     "keyed_lookup": q_keyed_lookup,
+    "rebucket_replay": q_rebucket_replay,
 }
 
 ORACLES = {
@@ -2405,6 +2444,8 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "cdc_replay": SQL_CDC_REPLAY,
     "keyed_lookup": SQL_KEYED_LOOKUP,
+    # a rebucket changes no logical row, so the oracle is the flagship's
+    "rebucket_replay": SQL_CDC_REPLAY,
 }
 
 # ---------------------------------------------------------------------------
@@ -2427,9 +2468,11 @@ _ROTATED_TO_FRONT = [
     "train_val_split",
     "stratified_sample",
     "keyed_lookup",  # NEW round 5: zone-map point lookup
+    "rebucket_replay",  # NEW round 5: bucket-count evolution mid-replay
 ]
 _ROTATED_TO_TAIL = [
     "union_by_name",  # driver-green r2-r4; makes room for keyed_lookup
+    "json_extract",  # driver-green r2-r4; makes room for rebucket_replay
     "left_outer",
     "right_outer",
     "union_distinct",

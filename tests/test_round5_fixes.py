@@ -47,6 +47,8 @@ def test_registration_rotation_covers_unrecorded_queries():
         "corpus_prep",
         "train_val_split",
         "stratified_sample",
+        "keyed_lookup",
+        "rebucket_replay",
     ):
         assert order.index(name) < 50, (name, order.index(name))
 
@@ -460,3 +462,208 @@ def test_property_keys_pruned_read_equals_full_read(spark, tmp_path):
         }
         exp = {k: full[k] for k in ks if k in full}
         assert got == exp, (trial, ks, got, exp)
+
+
+def test_delta_key_bloom_skips_unrelated_epochs(spark, tmp_path):
+    """Per-file key blooms (delta_key_bloom property): an epoch's delta
+    files are lsn-sorted, so their key min/max spans the bucket and zone
+    maps keep every epoch; the bloom must skip the epochs that never
+    touched the target keys, survive vacuum(), and load cold from the
+    sidecar in a fresh table instance."""
+    df = spark.createDataFrame([(i, i * 10) for i in range(20000)], "doc_id long, v long")
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, num_buckets=8,
+        properties={"key_col": "doc_id", "delta_key_bloom": True},
+    )
+    t.overwrite_all(df, key_col="doc_id")
+    for e in range(6):
+        # scattered (strided) keys: each epoch's key range spans the table
+        d = spark.createDataFrame(
+            [((i * 131 + e * 7) % 20000, 1_000_000 + e * 1000 + i, 10_000 + e)
+             for i in range(150)],
+            "doc_id long, v long, lsn long",
+        ).withColumn("op", F.lit("U"))
+        t.append_delta(list(range(8)), d, "doc_id")
+    keys = [(i * 131 + 4 * 7) % 20000 for i in (3, 77, 149)]  # epoch-4 keys
+    full = {r["doc_id"]: r["v"]
+            for r in t.read(key_col="doc_id").where(F.col("doc_id").isin(keys)).collect()}
+
+    got = {r["doc_id"]: r["v"]
+           for r in t.read(keys=keys, key_col="doc_id").collect() if r["doc_id"] in set(keys)}
+    stats = t.last_read_stats
+    assert got == full
+    assert stats["delta_files_bloom_skipped"] > 0, stats
+    assert stats["delta_files_kept"] < stats["delta_files_total"], stats
+
+    t.vacuum()  # must keep the _blooms.json sidecars of live commits
+    t2 = LakeTable(spark, str(tmp_path / "t"))  # cold bloom cache
+    got2 = {r["doc_id"]: r["v"]
+            for r in t2.read(keys=keys, key_col="doc_id").collect() if r["doc_id"] in set(keys)}
+    assert got2 == full
+    assert t2.last_read_stats["delta_files_bloom_skipped"] > 0
+
+
+def test_delta_key_bloom_never_false_negative_sweep(spark, tmp_path):
+    """Property sweep: a file that physically contains a target key must
+    always survive pruning (blooms may false-positive, never
+    false-negative), for int and string keys alike; the pruned read stays
+    value-identical to the unpruned read."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    rnd = random.Random(5)
+    for label, mk in (("int", lambda i: i), ("str", lambda i: f"k{i:06d}")):
+        df = spark.createDataFrame(
+            [(mk(i), i) for i in range(3000)],
+            "doc_id long, val long" if label == "int" else "doc_id string, val long",
+        )
+        t = LakeTable.create(
+            spark, str(tmp_path / f"t_{label}"), df.schema, num_buckets=4,
+            properties={"key_col": "doc_id", "delta_key_bloom": True},
+        )
+        t.overwrite_all(df, key_col="doc_id")
+        for e in range(4):
+            d = spark.createDataFrame(
+                [(mk(rnd.randrange(3000)), 10_000 + e * 100 + i, 100 + e)
+                 for i in range(80)],
+                ("doc_id long, val long, lsn long" if label == "int"
+                 else "doc_id string, val long, lsn long"),
+            ).withColumn("op", F.lit("U"))
+            t.append_delta(list(range(4)), d, "doc_id")
+        full = {r["doc_id"]: r["val"] for r in t.read(key_col="doc_id").collect()}
+        for _ in range(4):
+            ks = sorted({mk(rnd.randrange(3200)) for _ in range(rnd.randrange(1, 12))})
+            got = {r["doc_id"]: r["val"]
+                   for r in t.read(keys=ks, key_col="doc_id").collect()
+                   if r["doc_id"] in set(ks)}
+            assert got == {k: full[k] for k in ks if k in full}, (label, ks)
+            # white-box: every delta file physically holding a target key
+            # must be in the kept entry list
+            from bigquery_etl_fork_spark.lake.table import bucket_id
+            kdf = spark.createDataFrame(
+                [(k,) for k in ks],
+                "doc_id long" if label == "int" else "doc_id string",
+            )
+            key_buckets = {}
+            for r in kdf.select("doc_id", bucket_id(F.col("doc_id"), 4).alias("b")).collect():
+                key_buckets.setdefault(str(r["b"]), []).append(r["doc_id"])
+            for v in key_buckets.values():
+                v.sort()
+            entries = t._entries(None, "delta")
+            kept = t._prune_by_bloom(t._prune_by_keys(entries, key_buckets, "doc_id"), key_buckets)
+            kept_paths = {e["path"] for e in kept}
+            for ent in entries:
+                fp = os.path.join(t.root, ent["path"])
+                file_keys = set(pq.read_table(fp, columns=["doc_id"]).column(0).to_pylist())
+                hits = file_keys & set(key_buckets.get(ent["_bucket"], []))
+                if hits:
+                    assert ent["path"] in kept_paths, (label, ent["path"], hits)
+
+
+def test_rebucket_grows_bucket_count_correctly(spark, tmp_path):
+    """Bucket-count evolution: rebucket(4x) must preserve table state
+    exactly (through MoR deltas, which it compacts first), re-establish
+    key clustering, keep the change feed derivable across the rebucket
+    commit, and leave subsequent CDC epochs applying under the new
+    count."""
+    df = spark.createDataFrame([(f"d{i:05d}", i) for i in range(2000)], "doc_id string, val long")
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), df.schema, num_buckets=4,
+        properties={"key_col": "doc_id"},
+    )
+    t.overwrite_all(df, key_col="doc_id")
+    eng = CDCEngine(spark, t, key="doc_id", order="lsn", count_input=False)
+    sch = "doc_id string, val long, lsn long, op string"
+    eng.apply_epoch(1, spark.createDataFrame(
+        [("d00007", 7007, 101, "U"), ("d00008", None, 102, "D"),
+         ("x00001", 11111, 103, "I")], sch))
+    before = {r["doc_id"]: r["val"] for r in t.read(key_col="doc_id").collect()}
+    v_before = t.snapshot.version
+
+    t.rebucket(16)
+    assert t.num_buckets == 16
+    assert t.snapshot.commit_op == "rebucket"
+    after = {r["doc_id"]: r["val"] for r in t.read(key_col="doc_id").collect()}
+    assert after == before
+    # every manifest entry lives in the new bucket space and is clustered
+    assert set(t.snapshot.buckets.keys()) == {str(b) for b in range(16)}
+    assert all(
+        f.get("doc_id_min") is not None
+        for fs in t.snapshot.buckets.values() for f in fs
+    )
+    # zone maps prune under the new layout
+    t.read(keys=["d00007"], key_col="doc_id").collect()
+    assert t.last_read_stats["base_files_kept"] < t.last_read_stats["base_files_total"]
+    # change feed across the rebucket version stays derivable (no rows)
+    ch = t.changes(v_before, t.snapshot.version, key_col="doc_id")
+    assert ch.count() == 0
+    # next epoch applies under the new count
+    eng.apply_epoch(2, spark.createDataFrame([("d00009", 9009, 201, "U")], sch))
+    assert {r["doc_id"]: r["val"] for r in t.read(key_col="doc_id").collect()}["d00009"] == 9009
+    # invalid growth factors rejected
+    import pytest
+    with pytest.raises(ValueError):
+        t.rebucket(24)  # not a multiple of 16
+    with pytest.raises(ValueError):
+        t.rebucket(16)  # no growth
+
+
+def test_rebucket_plan_is_shuffle_free(spark, tmp_path):
+    """The rebucket rewrite must be a straight scan: old bucket b splits
+    locally into {b, b+old, ...} so the write plan carries NO Exchange."""
+    from bigquery_etl_fork_spark.lake.table import BUCKET_COL, bucket_id
+    from bigquery_etl_fork_spark.plans.guards import explain_string
+
+    df = spark.createDataFrame([(i, i) for i in range(5000)], "doc_id long, v long")
+    t = LakeTable.create(spark, str(tmp_path / "t"), df.schema, num_buckets=4,
+                         properties={"key_col": "doc_id"})
+    t.overwrite_all(df, key_col="doc_id")
+    base = t._read_files(t._sid_paths(t._entries(None, "base")), t.schema)
+    plan_df = base.withColumn(BUCKET_COL, bucket_id(F.col("doc_id"), 16))
+    assert "Exchange" not in explain_string(plan_df), explain_string(plan_df)
+    t.rebucket(16)
+    assert {r["doc_id"] for r in t.read(key_col="doc_id").collect()} == set(range(5000))
+
+
+def test_rollup_survives_source_rebucket(spark, tmp_path):
+    """A refresh range spanning a source rebucket must not trust old-space
+    bucket ids: the rollup detects the bucket-count change, recomputes
+    from current state (superseding every extrema partials cell), and
+    subsequent refreshes are incremental and correct in the new space."""
+    rows = [(f"d{i:05d}", f"g{i % 5}", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string, val long")
+    src = LakeTable.create(spark, str(tmp_path / "src"), df.schema, num_buckets=4,
+                           properties={"key_col": "doc_id"})
+    src.overwrite_all(df, key_col="doc_id")
+    mv = IncrementalRollup(
+        spark, src, str(tmp_path / "mv"), group_cols=["grp"],
+        measures={"n": ("count", None), "hi": ("max", "val"), "lo": ("min", "val")},
+    )
+    assert mv.refresh()["mode"] == "full"
+    eng = CDCEngine(spark, src, key="doc_id", order="lsn", count_input=False)
+    sch = "doc_id string, grp string, val long, lsn long, op string"
+    eng.apply_epoch(1, spark.createDataFrame([("d00004", "g4", -50, 101, "U")], sch))
+    src.rebucket(16)
+    eng.apply_epoch(2, spark.createDataFrame([("d00009", "g4", 99999, 201, "U")], sch))
+
+    res = mv.refresh()  # range spans the rebucket -> full, new-space partials
+    assert res["mode"] == "full"
+
+    def expect():
+        return {r["grp"]: (r["n"], r["hi"], r["lo"])
+                for r in src.read(key_col="doc_id").groupBy("grp")
+                .agg(F.count("*").alias("n"), F.max("val").alias("hi"),
+                     F.min("val").alias("lo")).collect()}
+
+    got = {r["grp"]: (r["n"], r["hi"], r["lo"]) for r in mv.read().collect()}
+    assert got == expect()
+    # partials cells are all in the new bucket space
+    cells = mv.partials.read(key_col="grp").select("src_bucket").distinct().collect()
+    assert all(0 <= r["src_bucket"] < 16 for r in cells)
+    # next refresh is incremental again and stays correct (extrema retract)
+    eng.apply_epoch(3, spark.createDataFrame([("d00009", "g4", None, 301, "D")], sch))
+    res2 = mv.refresh()
+    assert res2["mode"] == "incremental"
+    got2 = {r["grp"]: (r["n"], r["hi"], r["lo"]) for r in mv.read().collect()}
+    assert got2 == expect()
