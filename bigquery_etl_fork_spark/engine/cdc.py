@@ -119,6 +119,9 @@ class CDCEngine:
         post_commit_checks: list | None = None,
         commit_retries: int = 6,
         emit_changelog: bool = True,
+        auto_rebucket_bytes_per_bucket: int | None = None,
+        auto_rebucket_factor: int = 4,
+        auto_rebucket_max_buckets: int = 4096,
     ):
         if storage_mode not in ("mor", "cow"):
             raise ValueError(f"unknown storage_mode {storage_mode!r}")
@@ -147,6 +150,16 @@ class CDCEngine:
         # over merge commits. Costs one O(delta) write the merge then reads
         # back as its input — the dedup subtree is not recomputed.
         self.emit_changelog = emit_changelog
+        # Bucket-count evolution policy: when live base bytes per bucket
+        # cross the threshold after an epoch commit, grow the bucket count
+        # ×factor via the shuffle-free LakeTable.rebucket (old bucket b
+        # splits locally into factor new ones). None disables. A table
+        # created small at bootstrap keeps its rewrite units (and write
+        # parallelism) bounded as the corpus grows 100× under the tailer —
+        # no operator intervention, no full-shuffle relayout.
+        self.auto_rebucket_bytes_per_bucket = auto_rebucket_bytes_per_bucket
+        self.auto_rebucket_factor = auto_rebucket_factor
+        self.auto_rebucket_max_buckets = auto_rebucket_max_buckets
         # CoW only: max distinct delta keys to broadcast into the survivors
         # anti join. Above this, a forced broadcast would hit Spark's hard
         # 8 GiB / 512M-row broadcast limits (or OOM the driver), so the
@@ -347,10 +360,38 @@ class CDCEngine:
 
                 state = self.table.read(stats.affected, key_col=self.key)
                 run_checks(state, self.post_commit_checks)
+            self._maybe_auto_rebucket(stats)
             return stats
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
             self.spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+
+    def _maybe_auto_rebucket(self, stats: "EpochStats") -> None:
+        """Post-commit maintenance: grow the bucket count when live base
+        bytes/bucket cross the policy threshold (reference analog: the
+        clustering/partition-sizing guidance BigQuery absorbs server-side,
+        bigquery_etl/metadata/parse_metadata.py:96-101 — here the tailer
+        owns it). Runs AFTER the epoch committed, so a lost race only
+        skips this round's growth — the threshold re-fires next epoch.
+        Correctness of replaying across the swap is pinned by the
+        rebucket_replay oracle row; deltas are folded first inside
+        rebucket() itself."""
+        thr = self.auto_rebucket_bytes_per_bucket
+        if thr is None or stats.skipped:
+            return
+        nb = self.table.num_buckets
+        new_nb = nb * max(self.auto_rebucket_factor, 2)
+        if new_nb > self.auto_rebucket_max_buckets:
+            return
+        if self.table.base_bytes() / max(nb, 1) < thr:
+            return
+        try:
+            self.table.rebucket(new_nb, key_col=self.key,
+                                order_col=self.order, op_col=self.op_col)
+        except CommitConflict:
+            # another writer won a concurrent commit; growth is optional
+            # maintenance — re-evaluate on the refreshed snapshot next epoch
+            self.table.refresh()
 
     def _apply_epoch_with_conflict_handling(
         self, epoch: int, events: DataFrame, t0: float

@@ -960,6 +960,18 @@ class LakeTable:
             for b in sel
         }
 
+    def base_bytes(self) -> int:
+        """Total bytes of live base files, from the in-memory manifest
+        (driver-side, no I/O). The growth signal maintenance policies key
+        on: bytes/bucket is what bounds rewrite-unit size and write
+        parallelism, independent of row width."""
+        return sum(
+            f.get("bytes", 0)
+            for fs in self._snapshot.buckets.values()
+            for f in fs
+            if f.get("kind", "base") == "base"
+        )
+
     def compact_buckets(
         self,
         buckets: list[int],

@@ -667,3 +667,51 @@ def test_rollup_survives_source_rebucket(spark, tmp_path):
     assert res2["mode"] == "incremental"
     got2 = {r["grp"]: (r["n"], r["hi"], r["lo"]) for r in mv.read().collect()}
     assert got2 == expect()
+
+
+def test_auto_rebucket_policy_grows_under_tailer(spark, tmp_path):
+    """The tailer's bucket-count-evolution policy: with a byte threshold
+    set, the engine grows the bucket count xfactor after the epoch whose
+    commit crossed it, stops at the cap, and the replayed state is
+    identical to a plain engine's. Disabled (default) and huge-threshold
+    engines never rebucket."""
+    base = spark.createDataFrame(
+        [(f"d{i:05d}", i) for i in range(500)], "doc_id string, val long"
+    )
+    sch = "doc_id string, val long, lsn long, op string"
+    epochs = {
+        1: [("d00001", 11, 101, "U"), ("n00001", 1, 102, "I")],
+        2: [("d00002", 22, 201, "U"), ("d00003", None, 202, "D")],
+        3: [("n00002", 2, 301, "I")],
+    }
+
+    def replay(root, **eng_kw):
+        t = LakeTable.create(
+            spark, root, base.schema, num_buckets=4,
+            properties={"key_col": "doc_id"},
+        )
+        t.overwrite_all(base, key_col="doc_id")
+        eng = CDCEngine(spark, t, key="doc_id", order="lsn",
+                        count_input=False, **eng_kw)
+        for e, rows in epochs.items():
+            eng.apply_epoch(e, spark.createDataFrame(rows, sch))
+        return t
+
+    auto = replay(
+        str(tmp_path / "auto"),
+        auto_rebucket_bytes_per_bucket=1,
+        auto_rebucket_factor=2,
+        auto_rebucket_max_buckets=8,
+    )
+    plain = replay(str(tmp_path / "plain"))
+
+    # 1-byte threshold fires after epoch 1 (4->8); the cap stops 8->16
+    assert auto.num_buckets == 8
+    assert sum(1 for s in auto.history() if s.commit_op == "rebucket") == 1
+    a = {r["doc_id"]: r["val"] for r in auto.read(key_col="doc_id").collect()}
+    p = {r["doc_id"]: r["val"] for r in plain.read(key_col="doc_id").collect()}
+    assert a == p
+    assert plain.num_buckets == 4  # policy off by default
+
+    hi = replay(str(tmp_path / "hi"), auto_rebucket_bytes_per_bucket=10**15)
+    assert hi.num_buckets == 4  # threshold never crossed
