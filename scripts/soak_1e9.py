@@ -146,8 +146,23 @@ def main() -> None:
         )
         st = eng.apply_epoch(e, ev, est_bytes=seg_bytes[s])
         lat.append(round(st.latency_s, 1))
+        # Reap finished epochs' shuffle files NOW: ContextCleaner only
+        # deletes them after the driver GCs the shuffle references, and
+        # Spark's built-in periodic GC (spark.cleaner.periodicGC.interval)
+        # defaults to 30 min — at ~20 GB of shuffle data per epoch the
+        # local dirs fill long before that (this exact failure killed the
+        # first 1e9 attempt at epoch 11: "No space left on device" in
+        # BypassMergeSortShuffleWriter with ~200 GB of dead shuffle files).
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        free_gb = shutil.disk_usage(
+            os.environ.get("SPARK_LOCAL_DIRS", "/tmp").split(",")[0]
+        ).free >> 30
         print(json.dumps({"epoch": e, "latency_s": lat[-1],
-                          "elapsed": round(time.time() - t0, 1)}), flush=True)
+                          "elapsed": round(time.time() - t0, 1),
+                          "local_free_gb": free_gb}), flush=True)
     wall = time.time() - t0
     cal_after = _calibrate()
 
