@@ -35,15 +35,30 @@ def _doc_ids(idx: np.ndarray) -> np.ndarray:
     return np.char.add("doc-", np.char.zfill(idx.astype(str), 12))
 
 
+_LIST_SAFE_ELEMS = 2**30 - 8
+"""Max int32-token count per ListArray before switching to large_list.
+
+NOT the 2^31 element-offset limit: pyarrow's take/filter gather kernels
+(verified on 16.1.0) silently return the WRONG ROW's values when the
+gathered row's byte offset into the values buffer crosses 2^32 — i.e. at
+2^30 int32 elements (4 GiB), half... a quarter of the element-offset
+ceiling. slice() and LargeListArray take() stay correct (bisected
+empirically: correct at offset 1,071,593,518 elems, corrupt at
+1,077,840,000). change_log's verbatim duplicate-delivery take() hit this
+at 1e9-soak chunk sizes, producing same-lsn rows with DIFFERENT payloads
+— an at-least-once violation in the fixture that surfaced as a
+token-sample mismatch against a correct engine."""
+
+
 def _token_arrays(rng: np.random.Generator, n: int, min_len: int, max_len: int) -> pa.Array:
     """n token arrays as one flat Arrow list array (no Python lists).
-    Beyond 2^31 total tokens, 32-bit list offsets would silently wrap (and
-    crash Arrow) — switch to large_list (64-bit offsets); Parquet stores
-    both as the same LIST type, so readers are unaffected."""
+    Switches to large_list (64-bit offsets) at _LIST_SAFE_ELEMS — see its
+    docstring; Parquet stores both as the same LIST type, so readers are
+    unaffected."""
     lens = rng.integers(min_len, max_len + 1, size=n)
     total = int(lens.sum())
     flat = rng.integers(0, VOCAB, size=total, dtype=np.int32)
-    if total >= 2**31 - 8:
+    if total >= _LIST_SAFE_ELEMS:
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
         return pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.int32()))

@@ -715,3 +715,35 @@ def test_auto_rebucket_policy_grows_under_tailer(spark, tmp_path):
 
     hi = replay(str(tmp_path / "hi"), auto_rebucket_bytes_per_bucket=10**15)
     assert hi.num_buckets == 4  # threshold never crossed
+
+
+def test_token_arrays_switch_to_large_list_before_gather_corruption():
+    """pyarrow (16.1.0) take/filter on int32-offset list arrays silently
+    return the WRONG row once a row's byte offset into the values buffer
+    crosses 2^32 (= 2^30 int32 tokens) — bisected in datagen._LIST_SAFE_ELEMS's
+    docstring; this corrupted the 1e9 soak's 'verbatim' duplicate
+    deliveries into same-lsn rows with different payloads. Pin (a) the
+    routing: arrays at/above the threshold use 64-bit offsets (whose
+    gather is correct), below stay int32; (b) the threshold sits at/below
+    the empirically-safe 2^30 boundary."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bigquery_etl_fork_spark import datagen
+
+    assert datagen._LIST_SAFE_ELEMS <= 2**30
+    rng = np.random.default_rng(3)
+    small = datagen._token_arrays(rng, 10, 4, 8)
+    assert pa.types.is_list(small.type)  # int32 offsets below threshold
+
+    orig = datagen._LIST_SAFE_ELEMS
+    try:
+        datagen._LIST_SAFE_ELEMS = 50
+        big = datagen._token_arrays(rng, 10, 8, 16)  # total >= 80 > 50
+        assert pa.types.is_large_list(big.type)
+        # large_list round-trips through the dup-delivery take() verbatim
+        tbl = pa.table({"tokens": big})
+        dup = tbl.take(pa.array([7]))
+        assert dup["tokens"][0].as_py() == tbl["tokens"][7].as_py()
+    finally:
+        datagen._LIST_SAFE_ELEMS = orig
