@@ -131,15 +131,29 @@ def main() -> None:
 
     base = spark.read.parquet(os.path.join(work, "base_sequences.parquet"))
     root = os.path.join(work, "tbl")
-    shutil.rmtree(root, ignore_errors=True)
-    table = LakeTable.create(spark, root, base.schema, num_buckets=64,
-                             properties={"key_col": "doc_id"})
-    table.overwrite_all(base, key_col="doc_id")
+    # SOAK_RESUME=1: reopen the table and continue from the committed
+    # epoch watermark — the engine's own crash-resume contract, exercised
+    # at 10^9 scale (the first clean run was OOM-killed by the kernel in
+    # epoch 25; the resumed run finished it exactly-once).
+    resume_from = 0
+    if os.environ.get("SOAK_RESUME") == "1" and os.path.exists(root):
+        from bigquery_etl_fork_spark.engine.cdc import WATERMARK_PROP
+
+        table = LakeTable(spark, root)
+        resume_from = int(table.snapshot.properties.get(WATERMARK_PROP, 0))
+        print(json.dumps({"resumed_at_watermark": resume_from}), flush=True)
+    else:
+        shutil.rmtree(root, ignore_errors=True)
+        table = LakeTable.create(spark, root, base.schema, num_buckets=64,
+                                 properties={"key_col": "doc_id"})
+        table.overwrite_all(base, key_col="doc_id")
     eng = CDCEngine(spark, table, count_input=False)
 
     lat = []
     t0 = time.time()
     for e in range(1, n_epochs + 1):
+        if e <= resume_from:
+            continue
         s = (e - 1) % n_segs
         ev = segs[s].withColumn(
             "lsn", F.col("lsn") + F.lit((e - 1) * (per_epoch + 1)).cast("long")
@@ -208,11 +222,19 @@ def main() -> None:
     print(json.dumps({
         "probe": "soak_1e9",
         "events": total, "docs": n_docs, "epochs": n_epochs,
+        "resumed_at_watermark": resume_from,
+        "events_applied_this_run": sum(
+            seg_counts[(e - 1) % n_segs]
+            for e in range(resume_from + 1, n_epochs + 1)
+        ),
         "segments": n_segs, "per_epoch": per_epoch, "cpus": cpus,
         "host_calibration_before": cal_before,
         "host_calibration_after": cal_after,
         "seconds": round(wall, 1),
-        "events_per_sec": round(total / wall, 1),
+        "events_per_sec": round(
+            sum(seg_counts[(e - 1) % n_segs]
+                for e in range(resume_from + 1, n_epochs + 1)) / wall, 1
+        ),
         "epoch_latency_sec": lat,
         "final_rows": got_rows, "expected_rows": exp_rows,
         "sum_n_tok": got_ntok, "expected_sum_n_tok": exp_ntok,
