@@ -25,6 +25,22 @@ Run on tmpfs:
     TMPDIR=/dev/shm SOAK_DIR=/dev/shm/soak_1e9 python scripts/soak_1e9.py
 Env: SOAK_PER_EPOCH (4e7), SOAK_EPOCHS (25), SOAK_SEGS (3),
      SOAK_DOCS (1e6), SOAK_TOKLEN (16,256), SPARK_GRAFT_CPUS (32).
+
+10^10 mode (the north-star scale itself): the same harness with
+    SOAK_EPOCHS=250 SOAK_TBL=<disk path> SOAK_VACUUM_EVERY=10 \
+    SOAK_EPOCHS_PER_PROC=50  (+ scripts/soak_supervisor.sh)
+Three additions make the extra decade survivable on one machine:
+  - SOAK_TBL puts the lake table on DISK while segments + shuffle stay
+    on tmpfs (the 1e9 run C OOM-kill was RSS + tmpfs table growth
+    crossing physical RAM; the table is the only unbounded tmpfs user).
+  - SOAK_VACUUM_EVERY=K runs expire_snapshots(keep_last=4) + vacuum()
+    every K epochs so compaction/delta garbage is reclaimed in-line —
+    at 250 commits the un-vacuumed table would exceed the disk.
+  - SOAK_EPOCHS_PER_PROC=K exits the process cleanly every K applied
+    epochs; the supervisor relaunches with SOAK_RESUME=1. This bounds
+    JVM RSS growth over hours AND exercises the checkpoint-resume
+    contract repeatedly at full scale (every restart is a real
+    cold-JVM resume from the committed watermark).
 """
 
 import json
@@ -130,7 +146,9 @@ def main() -> None:
     total = sum(seg_counts[(e - 1) % n_segs] for e in range(1, n_epochs + 1))
 
     base = spark.read.parquet(os.path.join(work, "base_sequences.parquet"))
-    root = os.path.join(work, "tbl")
+    root = os.environ.get("SOAK_TBL") or os.path.join(work, "tbl")
+    vac_every = int(os.environ.get("SOAK_VACUUM_EVERY", "0"))
+    max_per_proc = int(os.environ.get("SOAK_EPOCHS_PER_PROC", "0"))
     # SOAK_RESUME=1: reopen the table and continue from the committed
     # epoch watermark — the engine's own crash-resume contract, exercised
     # at 10^9 scale (the first clean run was OOM-killed by the kernel in
@@ -151,15 +169,39 @@ def main() -> None:
 
     lat = []
     t0 = time.time()
+    applied_this_proc = 0
     for e in range(1, n_epochs + 1):
         if e <= resume_from:
             continue
+        if max_per_proc and applied_this_proc >= max_per_proc:
+            # Clean per-process exit: the committed watermark IS the
+            # checkpoint; the supervisor relaunches with SOAK_RESUME=1.
+            print(json.dumps({
+                "proc_exit": True, "at_epoch": e - 1,
+                "epochs_applied_this_proc": applied_this_proc,
+                "proc_replay_sec": round(time.time() - t0, 1),
+            }), flush=True)
+            spark.stop()
+            return
         s = (e - 1) % n_segs
         ev = segs[s].withColumn(
             "lsn", F.col("lsn") + F.lit((e - 1) * (per_epoch + 1)).cast("long")
         )
         st = eng.apply_epoch(e, ev, est_bytes=seg_bytes[s])
         lat.append(round(st.latency_s, 1))
+        applied_this_proc += 1
+        vac_info = {}
+        if vac_every and e % vac_every == 0 and e < n_epochs:
+            tv = time.time()
+            n_exp = table.expire_snapshots(keep_last=4)
+            n_vac = table.vacuum()
+            tbl_gb = round(sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(root) for f in fs
+            ) / 2**30, 1)
+            vac_info = {"expired": n_exp, "vacuumed": n_vac,
+                        "tbl_gb": tbl_gb,
+                        "vac_sec": round(time.time() - tv, 1)}
         # Reap finished epochs' shuffle files NOW: ContextCleaner only
         # deletes them after the driver GCs the shuffle references, and
         # Spark's built-in periodic GC (spark.cleaner.periodicGC.interval)
@@ -176,7 +218,7 @@ def main() -> None:
         ).free >> 30
         print(json.dumps({"epoch": e, "latency_s": lat[-1],
                           "elapsed": round(time.time() - t0, 1),
-                          "local_free_gb": free_gb}), flush=True)
+                          "local_free_gb": free_gb, **vac_info}), flush=True)
     wall = time.time() - t0
     cal_after = _calibrate()
 
@@ -220,7 +262,7 @@ def main() -> None:
     sample_ok = all(g_toks.get(k) == v for k, v in w_toks.items())
 
     print(json.dumps({
-        "probe": "soak_1e9",
+        "probe": f"soak_{total:.1e}",
         "events": total, "docs": n_docs, "epochs": n_epochs,
         "resumed_at_watermark": resume_from,
         "events_applied_this_run": sum(
