@@ -30,6 +30,13 @@ until grep -q '"probe"' "$LOG" 2>/dev/null; do
   if [ "$attempt" -gt 1 ] || [ -e "$SOAK_TBL/_snapshots" ]; then
     export SOAK_RESUME=1
   fi
+  # Wipe the previous attempt's Spark local dirs: a killed JVM leaves its
+  # blockmgr-*/spark-* shuffle dirs behind (ContextCleaner never ran), and
+  # on tmpfs those dead files ARE resident RAM — 40 crash-looped attempts
+  # accumulated 80 GiB here and turned one OOM kill into a permanent OOM
+  # loop. Safe because exactly one soak JVM runs at a time.
+  rm -rf "$SPARK_LOCAL_DIRS"
+  mkdir -p "$SPARK_LOCAL_DIRS"
   echo "{\"supervisor_attempt\": $attempt, \"resume\": \"${SOAK_RESUME:-0}\"}" >> "$LOG"
   python scripts/soak_1e9.py >> "$LOG" 2>&1 || true
 done
