@@ -62,8 +62,12 @@ def parse(path: str) -> dict:
         "epoch_latency_min": min(lat) if lat else None,
         "epoch_latency_max": max(lat) if lat else None,
         "epoch_latency_median": sorted(lat)[len(lat) // 2] if lat else None,
-        # steady-state band: skip each process's first epoch (cold JVM)
         "replay_wall_total_sec": round(sum(walls), 1),
+        # crash-robust wall proxy: a proc killed mid-run leaves no
+        # proc_exit line, so its wall vanishes from replay_wall_total_sec;
+        # the sum of committed epochs' apply latencies survives any kill
+        # pattern (add vacuum_sec_total for the full in-loop wall)
+        "sum_epoch_latency_sec": round(sum(lat), 1),
         "vacuums": len(vacs),
         "vacuum_sec_total": round(sum(v["vac_sec"] for v in vacs), 1),
         "tbl_gb_last": vacs[-1]["tbl_gb"] if vacs else None,
