@@ -30,7 +30,12 @@ def parse(path: str) -> dict:
                     d = json.loads(m.group(0))
                 except json.JSONDecodeError:
                     continue
-                if "epoch" in d:
+                # "probe" first: the final probe object also carries a
+                # resumed_at_watermark key and must not be classified as
+                # a plain resume line
+                if "probe" in d:
+                    probe = d
+                elif "epoch" in d:
                     epochs.append(d)
                     if "vac_sec" in d:
                         vacs.append(d)
@@ -40,8 +45,6 @@ def parse(path: str) -> dict:
                     resumes.append(d["resumed_at_watermark"])
                 elif "supervisor_attempt" in d:
                     attempts = max(attempts, d["supervisor_attempt"])
-                elif "probe" in d:
-                    probe = d
                 elif "cal_before" in d and cal is None:
                     cal = d["cal_before"]
                 elif "gen_sec" in d:
