@@ -16,12 +16,17 @@ uncompressed public formats — pure numpy, no external codec libraries:
   DHT/DQT the stream declares) via the pure-numpy entropy decoder in
   ``operators/jpeg.py`` — huffman + dequant + IDCT, fixture-tested
   against analytically exact DCT cases (round 5);
+- FLAC audio (RFC 9639: Rice-coded residuals, CONSTANT/VERBATIM/FIXED/
+  LPC subframes, left/right/mid-side stereo, CRC-8/16 + PCM-MD5
+  verification) via ``operators/flac.py`` — a real compressed AUDIO
+  codec with zero external dependencies (round 5, second half);
 - the deterministic ``MM01`` fake format (``synth_media_table``) kept for
   plumbing tests.
 
-Still gated: progressive/arithmetic JPEG, MP3 and other perceptual audio
-codecs — those raise ``NotImplementedError`` until Pillow/torchaudio are
-installed.
+Still gated: progressive/arithmetic JPEG, and PERCEPTUAL (lossy) audio
+codecs (MP3/AAC/Vorbis) — those raise ``NotImplementedError`` until
+Pillow/torchaudio are installed. Lossless compressed audio decodes
+natively via FLAC.
 
 Fake blob layout (little-endian): magic ``MM01`` | u16 width | u16 height |
 u8 channels | payload bytes (one per pixel-ish unit).
@@ -129,13 +134,20 @@ def synth_real_media_table(n: int = 24, seed: int = 17) -> pa.Table:
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
-        if i % 3 == 2:
+        if i % 4 == 2:
             frames, ch = int(rng.integers(64, 512)), int(rng.integers(1, 3))
             blob = synth_wav(frames, channels=ch, seed=i)
             rows.append((i, "audio", blob, (frames, 16000, ch, len(blob))))
+        elif i % 4 == 3:
+            from .flac import encode_flac
+
+            frames, ch = int(rng.integers(64, 512)), int(rng.integers(1, 3))
+            pcm = rng.integers(-30000, 30000, size=(frames, ch)).astype(np.int64)
+            blob = encode_flac(pcm, rate=16000, block_size=256)
+            rows.append((i, "audio", blob, (frames, 16000, ch, len(blob))))
         else:
             w, h = int(rng.integers(2, 48)), int(rng.integers(2, 48))
-            ch = 1 if i % 3 == 0 else 3
+            ch = 1 if i % 4 == 0 else 3
             blob = synth_netpbm(w, h, ch, seed=i)
             rows.append((i, "image", blob, (w, h, ch, len(blob))))
     return pa.table(
@@ -388,6 +400,14 @@ def _decode_blob(blob: bytes) -> tuple[int, int, int, float, bool]:
         return _parse_netpbm(blob)
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return _parse_wav(blob)
+    if blob[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        pcm, rate, bps = decode_flac(bytes(blob))
+        frames, ch = (pcm.shape[0], pcm.shape[1]) if pcm.size else (0, 0)
+        scale = float(1 << (bps - 1))
+        mean = float(np.abs(pcm).mean() / scale) if pcm.size else 0.0
+        return frames, rate, ch, mean, True
     if blob[: len(_PNG_SIG)] == _PNG_SIG:
         return _parse_png(blob)
     if blob[:3] == b"\xff\xd8\xff":
@@ -401,7 +421,7 @@ def _decode_blob(blob: bytes) -> tuple[int, int, int, float, bool]:
     except ImportError:
         raise NotImplementedError(
             "perceptual-audio decode (MP3/...) requires torchaudio; "
-            "netpbm/WAV/PNG/baseline-JPEG/fake blobs decode natively here"
+            "netpbm/WAV/FLAC/PNG/baseline-JPEG/fake blobs decode natively here"
         ) from None
     raise NotImplementedError("entropy-coded decode path not implemented")
 
