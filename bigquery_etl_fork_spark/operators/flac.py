@@ -288,19 +288,24 @@ def encode_flac(samples: np.ndarray, rate: int = 16000, bps: int = 16,
     n, ch = x.shape
     if stereo != "independent" and ch != 2:
         raise ValueError("stereo decorrelation needs 2 channels")
-    # STREAMINFO md5: interleaved little-endian signed PCM, bps/8 bytes
-    nbytes = bps // 8
-    md5 = hashlib.md5()
-    inter = x.reshape(-1)
-    md5.update(b"".join(int(v).to_bytes(nbytes, "little", signed=True)
-                        for v in inter))
+    # STREAMINFO md5: interleaved little-endian signed PCM, bps/8 bytes.
+    # Non-byte-aligned depths (12/20-bit) get the spec's "unset" all-zero
+    # digest rather than a wrong one.
+    if bps % 8 == 0:
+        nbytes = bps // 8
+        md5 = hashlib.md5()
+        md5.update(b"".join(int(v).to_bytes(nbytes, "little", signed=True)
+                            for v in x.reshape(-1)))
+        digest = md5.digest()
+    else:
+        digest = b"\x00" * 16
     out = bytearray(b"fLaC")
     info = _BitWriter()
     info.put(block_size, 16); info.put(block_size, 16)
     info.put(0, 24); info.put(0, 24)           # min/max frame size unknown
     info.put(rate, 20); info.put(ch - 1, 3); info.put(bps - 1, 5)
     info.put(n, 36)
-    body = info.bytes() + md5.digest()
+    body = info.bytes() + digest
     out += bytes([0x80]) + len(body).to_bytes(3, "big") + body  # last block
     for fi, start in enumerate(range(0, n, block_size)):
         blk = x[start:start + block_size]

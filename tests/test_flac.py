@@ -175,3 +175,15 @@ def test_spark_decode_media_flac(spark):
     expect = float(np.abs(pcm).mean() / 32768.0)
     assert abs(got["mean_intensity"] - expect) < 1e-3
     assert got["ok"]
+
+
+@pytest.mark.parametrize("bps,lo,hi", [(12, -2000, 2000), (20, -(2**18), 2**18)])
+def test_non_byte_aligned_depths(bps, lo, hi):
+    """12/20-bit decode through the same generic paths (docstring claim).
+    The encoder writes the spec's unset all-zero MD5 for these depths;
+    CRC-8/16 still verify every frame."""
+    x = RNG.integers(lo, hi, size=(300,)).astype(np.int64)
+    blob = encode_flac(x, bps=bps)
+    # STREAMINFO md5 region (fLaC + block header + 18 bytes in) is unset
+    assert blob[4 + 4 + 18:4 + 4 + 34] == b"\x00" * 16
+    assert roundtrip(x, bps=bps)[1] == bps
