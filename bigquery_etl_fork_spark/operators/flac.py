@@ -196,7 +196,15 @@ def _unzigzag(u: int) -> int:
 def _write_residual(w: _BitWriter, res: list[int], escape_bits: int | None,
                     bs: int, order: int, porder: int = 0) -> None:
     """Rice method 0 residual, ``2**porder`` partitions (first one short by
-    the predictor order, per spec), or escaped raw partitions."""
+    the predictor order, per spec), or escaped raw partitions.
+
+    The spec requires the blocksize to divide evenly into ``2**porder``
+    partitions each longer than the predictor order; a short final frame
+    usually violates that, so fall back to one partition instead of
+    silently emitting a stream whose partition counts don't sum to
+    ``bs - order`` (ADVICE r5)."""
+    if porder and (bs % (1 << porder) != 0 or (bs >> porder) <= order):
+        porder = 0
     w.put(0, 2)  # coding method: 4-bit Rice
     w.put(porder, 4)
     start = 0
@@ -505,6 +513,11 @@ def decode_flac(blob: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int, 
                          (mode == "mid_side" and c == 1) else 0
             subs.append(_read_subframe(rd, bs, fbps + extra))
         rd.align()
+        if rd.byte + 2 > len(blob):
+            # keep the corruption contract: decode_media catches only
+            # NotImplementedError, so a stream truncated right before the
+            # frame CRC must not escape as struct.error (ADVICE r5)
+            raise NotImplementedError("truncated FLAC stream")
         crc16 = struct.unpack(">H", blob[rd.byte:rd.byte + 2])[0]
         if _crc16(blob[frame_start:rd.byte]) != crc16:
             raise NotImplementedError("frame CRC-16 mismatch")
@@ -531,8 +544,15 @@ def decode_flac(blob: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int, 
     if verify_md5 and md5_expect != b"\x00" * 16 and bps % 8 == 0:
         nbytes = bps // 8
         md5 = hashlib.md5()
-        md5.update(b"".join(int(v).to_bytes(nbytes, "little", signed=True)
-                            for v in out.reshape(-1)))
+        try:
+            md5.update(b"".join(int(v).to_bytes(nbytes, "little", signed=True)
+                                for v in out.reshape(-1)))
+        except OverflowError:
+            # corrupt residuals can decode to samples outside the declared
+            # bit depth; that's stream corruption, not a crash (ADVICE r5)
+            raise NotImplementedError(
+                "decoded sample out of range for declared bit depth"
+            ) from None
         if md5.digest() != md5_expect:
             raise NotImplementedError("PCM MD5 mismatch (decoder integrity)")
     return out.astype(np.int64), rate, bps

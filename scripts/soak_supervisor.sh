@@ -16,7 +16,21 @@ export SOAK_TBL="${SOAK_TBL:-/tmp/soak_1e10_tbl}"
 export SOAK_EPOCHS="${SOAK_EPOCHS:-250}"
 export SOAK_VACUUM_EVERY="${SOAK_VACUUM_EVERY:-10}"
 export SOAK_EPOCHS_PER_PROC="${SOAK_EPOCHS_PER_PROC:-50}"
+# SPARK_LOCAL_DIRS must be ONE dedicated directory (not Spark's
+# comma-separated list form, and never a shared dir like /tmp): the
+# supervisor wipes it between attempts. Refuse anything that doesn't look
+# like a dedicated soak scratch dir so a misconfigured env can't delete
+# unrelated files (ADVICE r5).
 export SPARK_LOCAL_DIRS="${SPARK_LOCAL_DIRS:-/dev/shm/soak_local}"
+case "$SPARK_LOCAL_DIRS" in
+  *,*)
+    echo "soak_supervisor: SPARK_LOCAL_DIRS must be a single directory (got a comma-separated list: $SPARK_LOCAL_DIRS)" >&2
+    exit 2 ;;
+  *soak*) ;;  # dedicated soak dir — wipeable
+  *)
+    echo "soak_supervisor: refusing to manage SPARK_LOCAL_DIRS=$SPARK_LOCAL_DIRS — it is wiped between attempts, so it must be a dedicated dir matching *soak* (e.g. /dev/shm/soak_local)" >&2
+    exit 2 ;;
+esac
 mkdir -p "$SPARK_LOCAL_DIRS"
 cd "$(dirname "$0")/.."
 

@@ -91,7 +91,26 @@ def test_odd_sample_rate_uses_follow_field():
 # ---- hand-assembled stream: decoder-only, zero encoder involvement ----
 
 
-def _crc8(data):  # independent impl straight from the spec polynomial
+def test_crc_spec_vectors():
+    """Anchor the production CRCs to published catalog check values, so the
+    helpers below (structurally similar to production) can't validate a
+    shared polynomial/init/shift bug (ADVICE r5): FLAC's frame-header CRC-8
+    is CRC-8/SMBUS (poly 0x07, init 0, MSB-first) with check value 0xF4 over
+    b'123456789'; the frame CRC-16 is CRC-16/UMTS a.k.a. BUYPASS (poly
+    0x8005, init 0, MSB-first) with check value 0xFEE8."""
+    from bigquery_etl_fork_spark.operators.flac import _crc8 as prod_crc8
+    from bigquery_etl_fork_spark.operators.flac import _crc16 as prod_crc16
+
+    assert prod_crc8(b"123456789") == 0xF4
+    assert prod_crc16(b"123456789") == 0xFEE8
+    assert prod_crc8(b"") == 0 and prod_crc16(b"") == 0
+    # one multi-byte non-ASCII vector, computed independently (bitwise
+    # long-division by hand is impractical; these pin byte-order handling)
+    assert prod_crc8(bytes(range(16))) == _crc8(bytes(range(16)))
+    assert prod_crc16(bytes(range(16))) == _crc16(bytes(range(16)))
+
+
+def _crc8(data):  # helper mirror of the spec polynomial (anchored above)
     crc = 0
     for b in data:
         crc ^= b
