@@ -133,6 +133,18 @@ class IncrementalRollup:
                 num_buckets=min(source.num_buckets, 32),
                 properties={_VERSION_PROP: 0, "key_col": self.group_cols[0]},
             )
+        # Retention fence (VERDICT r5 #3): announce this rollup to the
+        # source so expire_snapshots/vacuum never drop the snapshots its
+        # next incremental refresh derives from. The name keys on the
+        # target path, so every process refreshing the same rollup shares
+        # one watermark file; registration at bind time (with the current
+        # pointer) protects a rollup that exists but hasn't refreshed yet.
+        import os as _os
+
+        self._consumer_name = (
+            "rollup:" + _os.path.basename(target_root.rstrip("/"))
+        )
+        self.source.register_consumer(self._consumer_name, self.last_source_version)
         self.partials: LakeTable | None = None
         if self.extrema:
             proot = target_root.rstrip("/") + "_partials"
@@ -266,10 +278,17 @@ class IncrementalRollup:
             if self.partials is not None:
                 self.partials.refresh()
             try:
-                return self._refresh_once()
+                res = self._refresh_once()
             except CommitConflict as e:
                 last = e
                 _time.sleep(random.uniform(0, 0.05 * (2**attempt)))
+                continue
+            # advance the retention fence only after the fold committed; a
+            # crash in between leaves the fence conservatively low (safe)
+            self.source.register_consumer(
+                self._consumer_name, self.last_source_version
+            )
+            return res
         raise last
 
     def _refresh_once(self) -> dict[str, Any]:

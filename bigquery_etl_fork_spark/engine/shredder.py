@@ -49,6 +49,7 @@ def shred_keys(
     vacuum: bool = True,
     max_buckets_per_task: int = 16,
     emit_changes: bool = False,
+    force_expire: bool = False,
 ) -> ShredResult:
     """Physically remove every row whose key is in ``keys``.
 
@@ -76,6 +77,14 @@ def shred_keys(
     time-travel-based backfills from pre-shred epochs become impossible
     afterwards — run pending backfills first, or rebuild staging by
     replaying the raw change log.
+
+    Registered change-feed consumers fence the expiry (VERDICT r5 #3):
+    snapshots a consumer hasn't refreshed past are kept, so deleted bytes
+    may briefly outlive the shred in time-travel-only versions until the
+    consumer advances and the next vacuum drops them — deliberate: silently
+    breaking a live rollup mid-refresh is worse than a bounded retention
+    tail. ``force_expire=True`` overrides the fence for hard GDPR
+    deadlines (deregister dead consumers instead when possible).
     """
     t0 = time.time()
     if isinstance(keys, list):
@@ -189,8 +198,9 @@ def shred_keys(
         buckets_rewritten += len(group)
     if vacuum:
         # GDPR hard delete: release historical snapshots too — the deleted
-        # rows' bytes must not survive in time-travelable versions
-        table.expire_snapshots(keep_last=1)
+        # rows' bytes must not survive in time-travelable versions (fenced
+        # by registered consumers unless force_expire)
+        table.expire_snapshots(keep_last=1, respect_consumers=not force_expire)
         removed = table.vacuum()
     else:
         removed = 0
