@@ -350,12 +350,27 @@ class IncrementalRollup:
         # changed buckets by per-file key min/max — the retract read then
         # touches ~1 file per key per bucket instead of whole buckets. The
         # semi join below restricts to exactly these keys, which is what
-        # makes the pruned (keys-complete-only) read correct. Unbounded key
-        # sets skip the collect and read whole buckets as before.
+        # makes the pruned (keys-complete-only) read correct.
+        #
+        # ADAPTIVE GATE (round 6): pruning only wins when the key set is
+        # small relative to the files it could skip — the 10M probe read
+        # 94/408 files at 100 keys but 512/512 at 10k — while the klist
+        # machinery (driver collect + bucket-map job + per-entry range
+        # bisect) costs time LINEAR in keys. A wide refresh (every epoch
+        # of a drip touching ~40% of a small table) paid that cost for
+        # zero skips: the r4-vs-r6 interleaved A/B attributed a
+        # reproducible ~8-13% rollup-query slowdown to it. Cap the
+        # collect at ~4 target keys per prunable file (beyond that the
+        # zone maps keep everything anyway) and at the absolute
+        # keys_prune_limit; wider sets read whole buckets as before.
+        n_files = len(self.source._entries(src_buckets, "base")) + len(
+            self.source._entries(src_buckets, "delta")
+        )
+        cap = min(self.keys_prune_limit, max(4 * n_files, 64))
         klist: list | None = [
-            r[0] for r in changed_keys.limit(self.keys_prune_limit + 1).collect()
+            r[0] for r in changed_keys.limit(cap + 1).collect()
         ]
-        if len(klist) > self.keys_prune_limit:
+        if len(klist) > cap:
             klist = None
         old = self.source.read(
             buckets=src_buckets, key_col=key, at_version=from_v, keys=klist
