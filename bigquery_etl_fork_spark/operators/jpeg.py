@@ -31,7 +31,39 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_baseline_jpeg", "decode_baseline_jpeg"]
+__all__ = ["encode_baseline_jpeg", "decode_baseline_jpeg", "decode_jpeg"]
+
+
+def decode_jpeg(blob: bytes) -> "np.ndarray":
+    """Decode a JPEG of either supported coding process: dispatches on
+    the frame marker — SOF0 (baseline sequential) decodes here, SOF2
+    (progressive huffman) via jpeg_progressive. Other SOFs (extended
+    sequential, lossless, arithmetic) raise NotImplementedError."""
+    if blob[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG (missing SOI)")
+    i = 2
+    while i + 4 <= len(blob):
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        marker = blob[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xC0:
+            return decode_baseline_jpeg(blob)
+        if marker == 0xC2:
+            from .jpeg_progressive import decode_progressive_jpeg
+
+            return decode_progressive_jpeg(blob)
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xD9, 0xDA):
+            # a SOS/EOI before any SOF, or an unsupported coding process
+            raise NotImplementedError(
+                f"unsupported JPEG coding process (marker 0x{marker:02x})"
+            )
+        (ln,) = struct.unpack(">H", blob[i + 2 : i + 4])
+        i += 2 + ln
+    raise NotImplementedError("malformed JPEG: no SOF segment")
 
 # zigzag scan order: index i of the scan -> (row, col) flat index
 _ZIGZAG = np.array([
@@ -334,7 +366,23 @@ def decode_baseline_jpeg(blob: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG to (h, w) grayscale or
     (h, w, 3) RGB uint8. Supports 4:4:4 and 4:2:0, restart intervals,
     any DHT/DQT the stream declares. Progressive / arithmetic / 12-bit
-    raise NotImplementedError."""
+    raise NotImplementedError.
+
+    Corruption contract (same as FLAC after ADVICE r5): every malformed
+    input raises NotImplementedError, never a raw IndexError/KeyError —
+    decode_media maps exactly that to ok=False."""
+    try:
+        return _decode_baseline(blob)
+    except NotImplementedError:
+        raise
+    except (IndexError, ValueError, KeyError, TypeError, StopIteration,
+            struct.error) as exc:
+        raise NotImplementedError(
+            f"corrupt baseline JPEG ({type(exc).__name__}: {exc})"
+        ) from None
+
+
+def _decode_baseline(blob: bytes) -> np.ndarray:
     if blob[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}

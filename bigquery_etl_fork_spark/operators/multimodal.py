@@ -16,6 +16,10 @@ uncompressed public formats — pure numpy, no external codec libraries:
   DHT/DQT the stream declares) via the pure-numpy entropy decoder in
   ``operators/jpeg.py`` — huffman + dequant + IDCT, fixture-tested
   against analytically exact DCT cases (round 5);
+- progressive JPEG (SOF2 huffman; spectral selection + successive
+  approximation, EOB-run coding, restart intervals) via
+  ``operators/jpeg_progressive.py``, cross-checked pixel-exact against
+  the baseline path on identical coefficient pipelines (round 6);
 - FLAC audio (RFC 9639: Rice-coded residuals, CONSTANT/VERBATIM/FIXED/
   LPC subframes, left/right/mid-side stereo, CRC-8/16 + PCM-MD5
   verification) via ``operators/flac.py`` — a real compressed AUDIO
@@ -23,7 +27,7 @@ uncompressed public formats — pure numpy, no external codec libraries:
 - the deterministic ``MM01`` fake format (``synth_media_table``) kept for
   plumbing tests.
 
-Still gated: progressive/arithmetic JPEG, and PERCEPTUAL (lossy) audio
+Still gated: arithmetic-coded JPEG, and PERCEPTUAL (lossy) audio
 codecs (MP3/AAC/Vorbis) — those raise ``NotImplementedError`` until
 Pillow/torchaudio are installed. Lossless compressed audio decodes
 natively via FLAC.
@@ -411,9 +415,9 @@ def _decode_blob(blob: bytes) -> tuple[int, int, int, float, bool]:
     if blob[: len(_PNG_SIG)] == _PNG_SIG:
         return _parse_png(blob)
     if blob[:3] == b"\xff\xd8\xff":
-        from .jpeg import decode_baseline_jpeg
+        from .jpeg import decode_jpeg
 
-        arr = decode_baseline_jpeg(bytes(blob))
+        arr = decode_jpeg(bytes(blob))
         c = 1 if arr.ndim == 2 else int(arr.shape[2])
         return int(arr.shape[1]), int(arr.shape[0]), c, float(arr.mean()), True
     try:
