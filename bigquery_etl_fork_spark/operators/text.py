@@ -49,6 +49,105 @@ def quality_score(text_col: str = "text") -> Column:
     return F.round((alpha_ratio + F.least(stop_ratio * 4, F.lit(1.0)) + len_term) / 3, 4)
 
 
+def ngrams_col(text_col: str = "text", n: int = 2) -> Column:
+    """Word n-grams as an array column (empty array when the doc is
+    shorter than n words) — the raw material for repetition metrics."""
+    w = words_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_multiplicity(arr: Column) -> Column:
+    """Max multiplicity of any element of an array column, computed
+    SHUFFLE-FREE per row: sort the array, fold once counting the longest
+    equal-run. Linear per row and JVM-side — at 100 TB this beats the
+    textbook explode -> groupBy -> max formulation (which multiplies the
+    row count ~n_words x before a full shuffle); the DuckDB oracle uses
+    exactly that relational formulation, so the two plans are
+    independent derivations of the same number."""
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    return F.aggregate(F.sort_array(arr), init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(text_col: str = "text") -> list[tuple[str, Column]]:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    the 'repetitive text' filters every LLM corpus pipeline applies):
+    top word / top bigram multiplicity and duplicate-trigram count, each
+    alongside its denominator. All values are exact INTEGERS — thresholds
+    like 'top bigram covers >18%% of the doc' become integer
+    cross-multiplications, so the driver's value-hash compare never
+    touches float rounding. Reference analog: the reference's event
+    normalization is SQL over BigQuery (no media/text plane); these
+    follow the published filter definitions instead."""
+    w = words_col(text_col)
+    bi = ngrams_col(text_col, 2)
+    tri = ngrams_col(text_col, 3)
+    return [
+        ("n_words", F.size(w).cast("long")),
+        ("top_word_cnt", top_multiplicity(w).cast("long")),
+        ("n_bigrams", F.size(bi).cast("long")),
+        ("top_bigram_cnt", top_multiplicity(bi).cast("long")),
+        (
+            "dup_bigrams",
+            (F.size(bi) - F.size(F.array_distinct(bi))).cast("long"),
+        ),
+        ("n_trigrams", F.size(tri).cast("long")),
+        (
+            "dup_trigrams",
+            (F.size(tri) - F.size(F.array_distinct(tri))).cast("long"),
+        ),
+    ]
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes + bounded quantifiers only, no
+# lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text_col: str = "text") -> list[tuple[str, Column]]:
+    """Occurrences of each PII pattern (before scrubbing)."""
+    return [
+        (
+            f"n_{name}",
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ).cast("long"),
+        )
+        for name, pat in sorted(PII_PATTERNS.items())
+    ]
+
+
+def pii_scrub(text_col: str = "text") -> Column:
+    """Text with every PII match replaced by a typed placeholder —
+    pure Column regexp_replace chain (JVM-side, linear, no UDF)."""
+    out = F.col(text_col)
+    for name, pat in sorted(PII_PATTERNS.items()):
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
 def doc_fingerprint(text_col: str = "text", n: int = 3) -> Column:
     """Winnowing-style fingerprint: minimum md5 over word n-gram shingles.
     Stable under whitespace-preserving edits elsewhere in the doc family;
