@@ -87,34 +87,56 @@ def top_multiplicity(arr: Column) -> Column:
     return F.aggregate(F.sort_array(arr), init, step, lambda acc: acc["best"])
 
 
-def repetition_stats(text_col: str = "text") -> list[tuple[str, Column]]:
+REPETITION_COLS = [
+    "n_words",
+    "top_word_cnt",
+    "n_bigrams",
+    "top_bigram_cnt",
+    "dup_bigrams",
+    "n_trigrams",
+    "dup_trigrams",
+]
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", keep: tuple = ("doc_id",)
+) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
     the 'repetitive text' filters every LLM corpus pipeline applies):
-    top word / top bigram multiplicity and duplicate-trigram count, each
-    alongside its denominator. All values are exact INTEGERS — thresholds
-    like 'top bigram covers >18%% of the doc' become integer
-    cross-multiplications, so the driver's value-hash compare never
-    touches float rounding. Reference analog: the reference's event
-    normalization is SQL over BigQuery (no media/text plane); these
-    follow the published filter definitions instead."""
-    w = words_col(text_col)
-    bi = ngrams_col(text_col, 2)
-    tri = ngrams_col(text_col, 3)
-    return [
-        ("n_words", F.size(w).cast("long")),
-        ("top_word_cnt", top_multiplicity(w).cast("long")),
-        ("n_bigrams", F.size(bi).cast("long")),
-        ("top_bigram_cnt", top_multiplicity(bi).cast("long")),
-        (
-            "dup_bigrams",
-            (F.size(bi) - F.size(F.array_distinct(bi))).cast("long"),
-        ),
-        ("n_trigrams", F.size(tri).cast("long")),
-        (
-            "dup_trigrams",
-            (F.size(tri) - F.size(F.array_distinct(tri))).cast("long"),
-        ),
-    ]
+    top word / top bigram multiplicity and duplicate bigram/trigram
+    counts, each alongside its denominator. All values are exact
+    INTEGERS — thresholds like 'top bigram covers >18%% of the doc'
+    become integer cross-multiplications, so the driver's value-hash
+    compare never touches float rounding.
+
+    Two-stage select: the word/bigram/trigram ARRAYS materialize once in
+    an inner projection, then every metric reads the materialized column
+    — higher-order-function expressions are outside whole-stage codegen,
+    so Catalyst's subexpression elimination does NOT merge repeated
+    `split`/`transform` trees and the one-Project form re-derives each
+    array per metric (measured 2.6x slower at sf0.1). Reference analog:
+    the reference's event normalization is SQL over BigQuery (no text
+    plane); these follow the published filter definitions instead."""
+    base = df.select(
+        *keep,
+        words_col(text_col).alias("_rw"),
+        ngrams_col(text_col, 2).alias("_rb2"),
+        ngrams_col(text_col, 3).alias("_rb3"),
+    )
+    return base.select(
+        *keep,
+        F.size("_rw").cast("long").alias("n_words"),
+        top_multiplicity(F.col("_rw")).cast("long").alias("top_word_cnt"),
+        F.size("_rb2").cast("long").alias("n_bigrams"),
+        top_multiplicity(F.col("_rb2")).cast("long").alias("top_bigram_cnt"),
+        (F.size("_rb2") - F.size(F.array_distinct("_rb2")))
+        .cast("long")
+        .alias("dup_bigrams"),
+        F.size("_rb3").cast("long").alias("n_trigrams"),
+        (F.size("_rb3") - F.size(F.array_distinct("_rb3")))
+        .cast("long")
+        .alias("dup_trigrams"),
+    )
 
 
 # PII patterns chosen to parse identically under Java regex (Spark) and

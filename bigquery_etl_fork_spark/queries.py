@@ -913,12 +913,10 @@ def q_repetition_stats(spark, sf_dir):
     ``operators/text.top_multiplicity``); the oracle recomputes them
     relationally (unnest -> GROUP BY -> MAX), so the two engines derive
     the same integers along entirely different plans."""
-    from .operators.text import repetition_stats
+    from .operators.text import with_repetition_stats
 
     d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", *[c.alias(name) for name, c in repetition_stats("text")]
-    )
+    return with_repetition_stats(d, "text", keep=("doc_id",))
 
 
 SQL_REPETITION_STATS = """

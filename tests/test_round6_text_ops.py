@@ -16,16 +16,14 @@ from bigquery_etl_fork_spark.operators.text import (  # noqa: E402
     ngrams_col,
     pii_counts,
     pii_scrub,
-    repetition_stats,
     top_multiplicity,
+    with_repetition_stats,
 )
 
 
 def _one(spark, text: str) -> dict:
-    df = spark.createDataFrame([(text,)], "text string")
-    row = df.select(
-        *[c.alias(n) for n, c in repetition_stats("text")]
-    ).collect()[0]
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = with_repetition_stats(df, "text").drop("doc_id").collect()[0]
     return row.asDict()
 
 
@@ -138,7 +136,7 @@ def test_repetition_plan_is_shuffle_free(spark):
         F.concat(F.lit("w"), (F.col("id") % 7).cast("string")).alias("text"),
     )
     plan = (
-        df.select("doc_id", *[c.alias(n) for n, c in repetition_stats("text")])
+        with_repetition_stats(df, "text")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
