@@ -290,8 +290,14 @@ def headline_line(qsecs, cdc, bulk, cal_before, ref, sf) -> str:
     }
     line = json.dumps(out)
     if len(line) > 1800:
-        # per-query timings live in the detail line/file; the headline must
-        # survive the driver's 2000-char stdout tail no matter what
+        # first resort: 1-decimal query timings (saves ~1 byte/query while
+        # keeping every per-query number on the official record)
+        out["queries"] = {k: round(v, 1) for k, v in qsecs.items()}
+        line = json.dumps(out)
+    if len(line) > 1800:
+        # last resort: per-query timings live in the detail line/file; the
+        # headline must survive the driver's 2000-char stdout tail no
+        # matter what
         out["queries"] = "see BENCH_DETAIL.json"
         line = json.dumps(out)
     return line

@@ -48,6 +48,13 @@ class IncrementalRollup:
     ("count", None) | ("sum", col) | ("avg", col) | ("min", col) |
     ("max", col).
 
+    ``derived`` adds GROUP BY expression support: deterministic row-level
+    SQL over source columns, computed on every source-row path before
+    grouping, so a group col can be e.g. a histogram bin of a value
+    column — which makes incrementally-maintained DISTRIBUTIONS additive
+    (bin counts retract/add like any count), the mergeable-sketch shape
+    percentile monitoring needs at CDC scale.
+
     Maintenance strategy per measure class:
 
     - **additive** (count/sum, and avg as a derived sum/count pair):
@@ -88,11 +95,27 @@ class IncrementalRollup:
         group_cols: list[str],
         measures: dict[str, tuple[str, str | None]],
         key_col: str | None = None,
+        derived: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.source = source
         self.group_cols = list(group_cols)
         self.measures = dict(measures)
+        # ``derived``: name -> deterministic row-level SQL expression over
+        # source columns, computed on every source-row path (change feed,
+        # time-travel retract read, partials recompute, full recompute)
+        # before grouping — GROUP BY expression support, e.g. histogram
+        # bins: derived={"len_bin": "least(n_tok div 64, 15)"},
+        # group_cols=["source", "len_bin"]. Names must not collide with
+        # source columns (rebinding an existing column would silently
+        # change retract semantics).
+        self.derived = dict(derived or {})
+        src_names = {f.name for f in source.schema.fields}
+        clash = sorted(self.derived.keys() & src_names)
+        if clash:
+            raise ValueError(
+                f"derived column(s) {clash} collide with source columns"
+            )
         self.additive: dict[str, tuple[str, str | None]] = {}
         self.avgs: dict[str, str] = {}
         self.extrema: dict[str, tuple[str, str]] = {}
@@ -167,11 +190,25 @@ class IncrementalRollup:
                     properties={"key_col": self.group_cols[0]},
                 )
 
+    def _with_derived(self, df: DataFrame) -> DataFrame:
+        for name, expr in self.derived.items():
+            df = df.withColumn(name, F.expr(expr))
+        return df
+
+    def _src_fields(self) -> dict[str, T.StructField]:
+        """Source fields plus analyzer-resolved derived-column fields."""
+        fields = {f.name: f for f in self.source.schema.fields}
+        if self.derived:
+            empty = self.spark.createDataFrame([], self.source.schema)
+            for f in self._with_derived(empty).schema.fields:
+                fields.setdefault(f.name, f)
+        return fields
+
     def _measure_store_type(self, col: str) -> T.DataType:
         # Spark's sum() widens: integral -> long, float -> double,
         # decimal(p,s) -> decimal(p+10,s); mirror it so the stored
         # schema matches what the aggregation produces
-        dt = {f.name: f for f in self.source.schema.fields}[col].dataType
+        dt = self._src_fields()[col].dataType
         if isinstance(dt, T.DecimalType):
             return T.DecimalType(min(38, dt.precision + 10), dt.scale)
         if isinstance(dt, (T.FloatType, T.DoubleType)):
@@ -179,7 +216,7 @@ class IncrementalRollup:
         return T.LongType()
 
     def _expected_schema(self) -> T.StructType:
-        src_fields = {f.name: f for f in self.source.schema.fields}
+        src_fields = self._src_fields()
         fields = [src_fields[g] for g in self.group_cols]
         fields.append(T.StructField(_NROWS, T.LongType()))
         for name, (kind, col) in self.additive.items():
@@ -198,7 +235,7 @@ class IncrementalRollup:
         return T.StructType(fields)
 
     def _expected_partials_schema(self) -> T.StructType:
-        src_fields = {f.name: f for f in self.source.schema.fields}
+        src_fields = self._src_fields()
         fields = [src_fields[g] for g in self.group_cols]
         fields.append(T.StructField("src_bucket", T.IntegerType()))
         fields.append(T.StructField(_NROWS, T.LongType()))
@@ -372,10 +409,12 @@ class IncrementalRollup:
         ]
         if len(klist) > cap:
             klist = None
-        old = self.source.read(
-            buckets=src_buckets, key_col=key, at_version=from_v, keys=klist
-        ).join(changed_keys, key, "semi")
-        adds_src = ch.where(F.col("op") != "D")
+        old = self._with_derived(
+            self.source.read(
+                buckets=src_buckets, key_col=key, at_version=from_v, keys=klist
+            ).join(changed_keys, key, "semi")
+        )
+        adds_src = self._with_derived(ch.where(F.col("op") != "D"))
         retract = old.groupBy(*self.group_cols).agg(*self._agg_exprs(-1))
         add = adds_src.groupBy(*self.group_cols).agg(*self._agg_exprs(+1))
         val_cols = self._additive_cols
@@ -452,7 +491,9 @@ class IncrementalRollup:
         heal = int(pt.snapshot.properties.get("partials_to_v", -1)) > from_v
         self._last_partials_mode = "heal" if heal else "fast"
         t = touched.alias("t")
-        cur = self.source.read(buckets=src_buckets, key_col=key, at_version=to_v)
+        cur = self._with_derived(
+            self.source.read(buckets=src_buckets, key_col=key, at_version=to_v)
+        )
         if not heal:
             cur = cur.join(t, self._nullsafe_cond(cur, t), "semi")
         cells_new = (
@@ -613,7 +654,9 @@ class IncrementalRollup:
         bks = None
         if self.source.snapshot.properties.get("require_partition_filter"):
             bks = list(range(self.source.num_buckets))  # deliberate full scan
-        state = self.source.read(buckets=bks, key_col=self.key_col, at_version=to_v)
+        state = self._with_derived(
+            self.source.read(buckets=bks, key_col=self.key_col, at_version=to_v)
+        )
         if self.extrema:
             # rebuild the partials sidecar FIRST (idempotent, so no atomic
             # cross-table commit is needed — see class docstring)

@@ -313,3 +313,71 @@ def test_rollup_property_random_op_sequences(spark, tmp_path):
             _apply(spark, src, rows, epoch)
             mv.refresh()
             assert _got(mv) == _expected(src), f"seed {seed} epoch {epoch}"
+
+
+def test_rollup_derived_group_cols_track_changes(spark, tmp_path):
+    """Round 6: ``derived`` GROUP BY expressions (histogram bins) must
+    retract/add correctly as values move BETWEEN bins — an update that
+    changes val also changes the derived group, so the retract hits the
+    old bin and the add hits the new one. Compared against a flat
+    GROUP BY over the evolving state after every epoch."""
+    src = _mk_source(
+        spark, tmp_path,
+        [("d1", "a", 5), ("d2", "a", 25), ("d3", "b", 12), ("d4", "b", 33)],
+    )
+    mv = IncrementalRollup(
+        spark, src, str(tmp_path / "mvd"),
+        group_cols=["grp", "bin"],
+        derived={"bin": "val div 10"},
+        measures={"n": ("count", None), "total": ("sum", "val")},
+    )
+
+    def expected():
+        return {
+            (r["grp"], r["bin"]): (r["n"], r["total"])
+            for r in src.read()
+            .withColumn("bin", F.expr("val div 10"))
+            .groupBy("grp", "bin")
+            .agg(F.count("*").alias("n"), F.sum("val").alias("total"))
+            .collect()
+        }
+
+    def got():
+        return {
+            (r["grp"], r["bin"]): (r["n"], r["total"])
+            for r in mv.read().collect()
+        }
+
+    mv.refresh()
+    assert got() == expected()
+    # epoch 1: d1 moves bins (5 -> 17), d3 deleted, new d5 lands in a:3
+    _apply(spark, src, [("d1", "a", 17, 10, "U"), ("d3", "b", 0, 11, "D"),
+                        ("d5", "a", 31, 12, "I")], 1)
+    mv.refresh()
+    assert got() == expected()
+    # epoch 2: d5 changes group AND bin; d2 value-only within same bin
+    _apply(spark, src, [("d5", "b", 9, 20, "U"), ("d2", "a", 27, 21, "U")], 2)
+    mv.refresh()
+    assert got() == expected()
+
+
+def test_rollup_derived_with_extrema_and_collision_guard(spark, tmp_path):
+    src = _mk_source(spark, tmp_path, [("d1", "a", 5), ("d2", "a", 25)])
+    with pytest.raises(ValueError, match="collide"):
+        IncrementalRollup(
+            spark, src, str(tmp_path / "bad"),
+            group_cols=["grp"], derived={"val": "val + 1"},
+            measures={"n": ("count", None)},
+        )
+    # extrema path: partials keyed by (grp, derived bin) recompute cells
+    mv = IncrementalRollup(
+        spark, src, str(tmp_path / "mve"),
+        group_cols=["grp", "bin"],
+        derived={"bin": "val div 10"},
+        measures={"hi": ("max", "val"), "lo": ("min", "val")},
+    )
+    mv.refresh()
+    _apply(spark, src, [("d1", "a", 22, 10, "U"), ("d3", "a", 7, 11, "I")], 1)
+    mv.refresh()
+    got = {(r["grp"], r["bin"]): (r["hi"], r["lo"]) for r in mv.read().collect()}
+    assert got == {("a", 2): (25, 22), ("a", 0): (7, 7)}
