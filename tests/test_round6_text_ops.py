@@ -142,3 +142,45 @@ def test_repetition_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_gopher_filter_rules_fire_individually(spark):
+    """Each filter bit must fire on a doc crafted to trip exactly it —
+    incl. the two rules the synthetic corpus never trips (dup-trigram,
+    low-alpha)."""
+    import tempfile
+
+    from bigquery_etl_fork_spark.queries import QUERIES
+
+    docs = [
+        # 0: clean — 20 distinct words, alpha, no repeats
+        (0, " ".join(f"w{chr(97+i)}x" for i in range(20)), "en", "s", 0),
+        # 1: too short (bit 0) only — distinct words, alpha
+        (1, "alpha beta gamma delta", "en", "s", 0),
+        # 2: top word > 10% (bit 1): 'spam' x5 of 24 words
+        (2, " ".join(["spam"] * 5 + [f"u{chr(97+i)}q" for i in range(19)]),
+         "en", "s", 0),
+        # 3: dup trigrams > 10% (bit 3): a 6-word phrase repeated 5x (30
+        #    words, 28 trigrams, most duplicated) — also trips top-word/
+        #    bigram, so expect bits 1|2|3
+        (3, " ".join(["one two three four five six"] * 5), "en", "s", 0),
+        # 4: low alpha (bit 4): >20% numeric tokens
+        (4, " ".join(["123"] * 6 + [f"v{chr(97+i)}r" for i in range(18)]),
+         "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(td + "/documents.parquet")
+        out = {
+            r["doc_id"]: (r["reasons"], r["kept"])
+            for r in QUERIES["gopher_filter"](spark, td).collect()
+        }
+    assert out[0] == (0, True)
+    # rules are independent bits: a 4-word doc trivially trips the ratio
+    # rules too (any word is >10% of 4), so assert bit membership
+    assert out[1][0] & 1 and not out[1][1]
+    assert out[2] == (2, False)
+    assert out[3][0] & 8 and not out[3][1]
+    # '123' is also the top word (6/24 > 10%) -> bit 1 joins bit 4
+    assert out[4][0] & 16 and not out[4][1]
