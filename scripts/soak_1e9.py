@@ -165,7 +165,16 @@ def main() -> None:
         table = LakeTable.create(spark, root, base.schema, num_buckets=64,
                                  properties={"key_col": "doc_id"})
         table.overwrite_all(base, key_col="doc_id")
-    eng = CDCEngine(spark, table, count_input=False)
+    # SOAK_AUTO_MAINT=1 (round 6): the ENGINE owns retention — in-loop
+    # consumer-fenced expire+vacuum on its own cadence; the harness's
+    # SOAK_VACUUM_EVERY block stays off. Ties the tailer-owned-maintenance
+    # claim (probe_auto_maintenance.py) to 10^9 scale.
+    auto = os.environ.get("SOAK_AUTO_MAINT") == "1"
+    eng = CDCEngine(
+        spark, table, count_input=False,
+        auto_expire_keep=4 if auto else None,
+        auto_vacuum_every=10,
+    )
 
     lat = []
     t0 = time.time()
@@ -191,6 +200,19 @@ def main() -> None:
         lat.append(round(st.latency_s, 1))
         applied_this_proc += 1
         vac_info = {}
+        if auto and e % 10 == 0:
+            # engine did (or skipped) its own maintenance inside
+            # apply_epoch; sample the outcome for the boundedness record
+            vac_info = {
+                "tbl_gb": round(sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(root) for f in fs
+                ) / 2**30, 1),
+                "live_files": sum(
+                    len(v) for v in table.snapshot.buckets.values()
+                ),
+                "auto": True,
+            }
         if vac_every and e % vac_every == 0 and e < n_epochs:
             tv = time.time()
             n_exp = table.expire_snapshots(keep_last=4)
